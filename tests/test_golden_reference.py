@@ -1,0 +1,94 @@
+"""Byte-for-byte golden parity against the UNMODIFIED reference encoders.
+
+Compiles tests/golden/dump_reference.cpp (which #includes the read-only
+headers in /root/reference) and compares the reference's exact bitstreams
+with this framework's output for the layouts the reference implements:
+plain (N=1) and 2-way interleaved BYTE / RANS64, and 1/2/8-way WORD.
+"""
+
+import pathlib
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from ryg_rans_tpu.config import RansConfig, Variant
+from ryg_rans_tpu.models import stats
+from ryg_rans_tpu.ops import reference_numpy as oracle
+
+REF = pathlib.Path("/root/reference")
+HERE = pathlib.Path(__file__).parent
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None or not REF.exists(),
+    reason="needs g++ and the reference checkout")
+
+
+@pytest.fixture(scope="module")
+def dumper(tmp_path_factory):
+    exe = tmp_path_factory.mktemp("golden") / "dump_reference"
+    subprocess.run(
+        ["g++", "-O2", "-msse4.1", "-I", str(REF),
+         str(HERE / "golden" / "dump_reference.cpp"), "-o", str(exe)],
+        check=True)
+    return exe
+
+
+def _reference_payload(dumper, tmp_path, variant, lanes, data: np.ndarray):
+    inp = tmp_path / "in.bin"
+    outp = tmp_path / f"out_{variant}_{lanes}.bin"
+    inp.write_bytes(data.tobytes())
+    subprocess.run(
+        [str(dumper), variant, str(lanes), str(inp), str(outp)], check=True)
+    raw = outp.read_bytes()
+    size = int.from_bytes(raw[:8], "little")
+    payload = raw[8:]
+    assert len(payload) == size
+    return payload
+
+
+def _our_payload(variant: Variant, lanes: int, data: np.ndarray) -> bytes:
+    cfg = RansConfig.reference(variant, n_lanes=lanes)
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+    streams = oracle.encode(cfg, data, freqs, cum)
+    assert len(streams) == 1
+    return streams[0].tobytes()
+
+
+CASES = [
+    ("byte", Variant.BYTE, 1),
+    ("byte", Variant.BYTE, 2),
+    ("rans64", Variant.RANS64, 1),
+    ("rans64", Variant.RANS64, 2),
+    ("word", Variant.WORD, 1),
+    ("word", Variant.WORD, 2),
+    ("word", Variant.WORD, 8),
+]
+
+
+@pytest.mark.parametrize("ref_name,variant,lanes", CASES)
+@pytest.mark.parametrize("size", [777, 8192, 65536])
+def test_bitstream_identical(dumper, tmp_path, book1, ref_name, variant,
+                             lanes, size):
+    data = np.ascontiguousarray(book1[:size])
+    ref = _reference_payload(dumper, tmp_path, ref_name, lanes, data)
+    ours = _our_payload(variant, lanes, data)
+    assert ours == ref, (
+        f"{ref_name} N={lanes} size={size}: first diff at "
+        f"{next((i for i, (a, b) in enumerate(zip(ours, ref)) if a != b), -1)}"
+        f" (lens {len(ours)} vs {len(ref)})")
+
+
+@pytest.mark.parametrize("ref_name,lanes,published", [
+    ("byte", 1, 435113),    # README:48
+    ("byte", 2, 435117),    # README:62
+    ("rans64", 1, 435116),  # README:82
+    ("rans64", 2, 435120),  # README:96
+])
+def test_published_sizes_book1(dumper, tmp_path, book1, ref_name, lanes,
+                               published):
+    """The reference binaries reproduce their README sizes on this corpus --
+    anchors the golden dumps to the published baseline."""
+    ref = _reference_payload(dumper, tmp_path, ref_name, lanes, book1)
+    assert len(ref) == published
