@@ -1,0 +1,424 @@
+// rans_core: native host codec for the ryg_rans_tpu lane-interleaved format.
+//
+// Role in the framework (mirrors the reference being all-native): fast host
+// encode/decode for any (variant, prob_bits, n_lanes, lanes_per_stream)
+// layout, used as (a) the high-throughput CPU fallback codec, (b) the golden
+// oracle for the JAX/Pallas kernels on full-size corpora, and (c) the
+// reference-layout parity path (n_streams=1, N<=2 reproduces the streams of
+// rygorous/ryg_rans demos byte-for-byte; see tests/test_native.py).
+//
+// This is an original implementation built from the rANS math as documented
+// in the reference headers (state transition rans_byte.h:83-90, renorm
+// thresholds rans_byte.h:64 / rans64.h:83 / rans_word_sse41.h:85, alias
+// coding main_alias.cpp:241-267); it shares no code with the reference and
+// is organized as variant-trait templates over a single lane engine rather
+// than per-variant free functions.
+//
+// Exposed as a C ABI consumed via ctypes (ryg_rans_tpu/native.py).
+
+#include <cassert>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kNSyms = 256;
+
+// ---------------------------------------------------------------------------
+// Variant traits: all arithmetic runs in uint64 regardless of state width.
+// ---------------------------------------------------------------------------
+
+struct ByteTraits {
+  using Word = uint8_t;
+  static constexpr uint64_t kL = 1ull << 23;
+  static constexpr int kWordBits = 8;
+  static constexpr int kStateWords = 4;
+};
+
+struct WordTraits {
+  using Word = uint16_t;
+  static constexpr uint64_t kL = 1ull << 16;
+  static constexpr int kWordBits = 16;
+  static constexpr int kStateWords = 2;
+};
+
+struct R64Traits {
+  using Word = uint32_t;
+  static constexpr uint64_t kL = 1ull << 31;
+  static constexpr int kWordBits = 32;
+  static constexpr int kStateWords = 2;
+};
+
+// ---------------------------------------------------------------------------
+// Alias tables (Vose sweep, semantics of main_alias.cpp:147-237; validated
+// against the NumPy builder in tests).
+// ---------------------------------------------------------------------------
+
+struct AliasTables {
+  std::vector<uint32_t> divider;      // [256]
+  std::vector<uint32_t> slot_freqs;   // [512]
+  std::vector<uint32_t> slot_adjust;  // [512]
+  std::vector<uint8_t> sym_id;        // [512]
+  std::vector<uint32_t> remap;        // [M]
+};
+
+bool build_alias(const uint32_t* freqs, const uint64_t* cum, int scale_bits,
+                 AliasTables* out) {
+  const uint32_t M = 1u << scale_bits;
+  if (M % kNSyms) return false;
+  const uint32_t tgt = M / kNSyms;
+
+  out->divider.assign(kNSyms, tgt);
+  out->sym_id.resize(2 * kNSyms);
+  out->slot_freqs.assign(2 * kNSyms, 0);
+  out->slot_adjust.assign(2 * kNSyms, 0);
+  out->remap.assign(M, 0);
+
+  std::vector<int64_t> remaining(kNSyms);
+  for (int i = 0; i < kNSyms; i++) {
+    remaining[i] = freqs[i];
+    out->sym_id[2 * i] = out->sym_id[2 * i + 1] = (uint8_t)i;
+  }
+
+  int large = 0, small = 0;
+  while (large < kNSyms && remaining[large] < (int64_t)tgt) large++;
+  while (small < kNSyms && remaining[small] >= (int64_t)tgt) small++;
+  int next_small = small + 1;
+
+  while (large < kNSyms && small < kNSyms) {
+    out->sym_id[2 * small] = (uint8_t)large;
+    out->divider[small] = (uint32_t)remaining[small];
+    remaining[large] -= tgt - out->divider[small];
+    if (remaining[large] >= (int64_t)tgt || next_small <= large) {
+      small = next_small;
+      while (small < kNSyms && remaining[small] >= (int64_t)tgt) small++;
+      next_small = small + 1;
+    } else {
+      small = large;  // donor turned small behind the cursor: back-track
+    }
+    while (large < kNSyms && remaining[large] < (int64_t)tgt) large++;
+  }
+
+  std::vector<uint32_t> assigned(kNSyms, 0);
+  for (int i = 0; i < kNSyms; i++) {
+    const int j = out->sym_id[2 * i];
+    const uint32_t h0 = out->divider[i];       // alias-symbol slots (lower)
+    const uint32_t h1 = tgt - h0;              // home-symbol slots (upper)
+    const uint32_t b0 = assigned[i], b1 = assigned[j];
+    const uint32_t cb0 = (uint32_t)cum[i] + b0;
+    const uint32_t cb1 = (uint32_t)cum[j] + b1;
+    out->divider[i] = i * tgt + h0;
+    out->slot_freqs[2 * i + 1] = freqs[i];
+    out->slot_freqs[2 * i + 0] = freqs[j];
+    out->slot_adjust[2 * i + 1] = i * tgt - b0;
+    out->slot_adjust[2 * i + 0] = i * tgt - (b1 - h0);
+    for (uint32_t k = 0; k < h0; k++) out->remap[cb0 + k] = k + i * tgt;
+    for (uint32_t k = 0; k < h1; k++) out->remap[cb1 + k] = (k + h0) + i * tgt;
+    assigned[i] += h0;
+    assigned[j] += h1;
+  }
+  for (int i = 0; i < kNSyms; i++)
+    if (assigned[i] != freqs[i]) return false;
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Lane engine
+// ---------------------------------------------------------------------------
+
+struct Layout {
+  int64_t n_symbols;
+  int n_lanes;
+  int lpg;        // lanes per stream
+  int n_streams;
+  int64_t steps;  // ceil(n_symbols / n_lanes)
+};
+
+Layout make_layout(int64_t n_symbols, int n_lanes, int lpg) {
+  Layout L;
+  L.n_symbols = n_symbols;
+  L.n_lanes = n_lanes;
+  L.lpg = lpg;
+  L.n_streams = n_lanes / lpg;
+  L.steps = n_lanes ? (n_symbols + n_lanes - 1) / n_lanes : 0;
+  return L;
+}
+
+// Encode one substream. Walks steps in reverse, lanes descending, emitting
+// backwards into scratch, then copies forward (the reference's twist #2,
+// rans_byte.h:24-26, realized with an explicit reversal buffer).
+//
+// EncUpdate: (x_renormed, symbol) -> new state.  EncThreshold: symbol ->
+// renorm threshold x_max.
+template <class T, class EncUpdate, class EncThreshold>
+int64_t encode_stream(const Layout& L, int stream, const uint8_t* data,
+                      const EncThreshold& x_max_of, const EncUpdate& update,
+                      typename T::Word* out, int64_t out_cap_words) {
+  const int lpg = L.lpg;
+  const int64_t lane_base = (int64_t)stream * lpg;
+  std::vector<uint64_t> x(lpg, T::kL);
+
+  // worst case words: states + max_renorm per symbol
+  const int max_renorm = (T::kWordBits == 8) ? 2 : 1;
+  std::vector<typename T::Word> scratch(
+      (size_t)(L.steps * lpg * max_renorm + (int64_t)lpg * T::kStateWords + 8));
+  typename T::Word* ptr = scratch.data() + scratch.size();
+
+  for (int64_t t = L.steps - 1; t >= 0; t--) {
+    for (int g = lpg - 1; g >= 0; g--) {
+      const int64_t i = t * L.n_lanes + lane_base + g;
+      if (i >= L.n_symbols) continue;
+      const int s = data[i];
+      uint64_t st = x[g];
+      const uint64_t xmax = x_max_of(s);
+      while (st >= xmax) {
+        *--ptr = (typename T::Word)(st & ((1ull << T::kWordBits) - 1));
+        st >>= T::kWordBits;
+      }
+      x[g] = update(st, s);
+    }
+  }
+  // flush states, lane-descending so they read back lane-ascending
+  for (int g = lpg - 1; g >= 0; g--) {
+    uint64_t st = x[g];
+    for (int w = T::kStateWords - 1; w >= 0; w--)
+      *--ptr = (typename T::Word)(st >> (w * T::kWordBits));
+  }
+
+  const int64_t n_words = scratch.data() + scratch.size() - ptr;
+  if (n_words > out_cap_words) return -1;
+  std::memcpy(out, ptr, (size_t)n_words * sizeof(typename T::Word));
+  return n_words;
+}
+
+// Decode one substream forward (RansDecInit/Get/Advance semantics,
+// rans_byte.h:109-149, generalized over lanes).
+template <class T, class DecStep>
+void decode_stream(const Layout& L, int stream,
+                   const typename T::Word* words, const DecStep& step,
+                   uint8_t* out) {
+  const int lpg = L.lpg;
+  const int64_t lane_base = (int64_t)stream * lpg;
+  std::vector<uint64_t> x(lpg, 0);
+  const typename T::Word* ptr = words;
+  for (int g = 0; g < lpg; g++) {
+    uint64_t st = 0;
+    for (int w = 0; w < T::kStateWords; w++)
+      st |= (uint64_t)(*ptr++) << (w * T::kWordBits);
+    x[g] = st;
+  }
+  for (int64_t t = 0; t < L.steps; t++) {
+    for (int g = 0; g < lpg; g++) {
+      const int64_t i = t * L.n_lanes + lane_base + g;
+      if (i >= L.n_symbols) continue;
+      uint64_t st = x[g];
+      int sym;
+      st = step(st, &sym);
+      while (st < T::kL) st = (st << T::kWordBits) | (uint64_t)(*ptr++);
+      x[g] = st;
+      out[i] = (uint8_t)sym;
+    }
+  }
+}
+
+struct Model {
+  uint64_t cum[kNSyms + 1];
+  uint32_t freqs[kNSyms];
+  std::vector<uint8_t> c2s;  // slot -> symbol
+
+  void init(const uint32_t* f, const uint32_t* c, int scale_bits) {
+    for (int i = 0; i < kNSyms; i++) freqs[i] = f[i];
+    for (int i = 0; i <= kNSyms; i++) cum[i] = c[i];
+    const uint32_t M = 1u << scale_bits;
+    c2s.resize(M);
+    for (int s = 0; s < kNSyms; s++)
+      for (uint64_t k = cum[s]; k < cum[s + 1]; k++) c2s[k] = (uint8_t)s;
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Encode `data[n_symbols]`; writes substreams back-to-back (each substream
+// word-aligned by construction) into `out` and per-substream WORD counts
+// into `stream_words[n_streams]`.  Returns total payload bytes, or -1 if
+// out_capacity is too small, -2 on bad arguments.
+int64_t trans_encode(int variant, int prob_bits, int n_lanes,
+                     int lanes_per_stream, const uint8_t* data,
+                     int64_t n_symbols, const uint32_t* freqs,
+                     const uint32_t* cum_freqs_u32, uint8_t* out,
+                     int64_t out_capacity, int64_t* stream_words) {
+  if (n_lanes <= 0 || lanes_per_stream <= 0 || n_lanes % lanes_per_stream)
+    return -2;
+  Layout L = make_layout(n_symbols, n_lanes, lanes_per_stream);
+  Model m;
+  m.init(freqs, cum_freqs_u32, prob_bits);
+  const int sb = prob_bits;
+
+  AliasTables alias;
+  if (variant == 3 && !build_alias(m.freqs, m.cum, sb, &alias)) return -2;
+
+  int64_t total = 0;
+  for (int s = 0; s < L.n_streams; s++) {
+    int64_t words = 0;
+    switch (variant) {
+      case 0: {  // BYTE: x_max = freq << (23 - sb + 8)   (rans_byte.h:64)
+        auto xmax = [&](int sym) {
+          return (uint64_t)m.freqs[sym] << (23 - sb + 8);
+        };
+        auto upd = [&](uint64_t x, int sym) {
+          return ((x / m.freqs[sym]) << sb) + (x % m.freqs[sym]) + m.cum[sym];
+        };
+        words = encode_stream<ByteTraits>(
+            L, s, data, xmax, upd, out + total,
+            (out_capacity - total) / (int64_t)sizeof(uint8_t));
+        break;
+      }
+      case 1: {  // WORD: x_max = freq << (16 - sb + 16) (rans_word_sse41.h:85)
+        auto xmax = [&](int sym) {
+          return (uint64_t)m.freqs[sym] << (16 - sb + 16);
+        };
+        auto upd = [&](uint64_t x, int sym) {
+          return ((x / m.freqs[sym]) << sb) + (x % m.freqs[sym]) + m.cum[sym];
+        };
+        words = encode_stream<WordTraits>(
+            L, s, data, xmax, upd, (uint16_t*)(out + total),
+            (out_capacity - total) / (int64_t)sizeof(uint16_t));
+        break;
+      }
+      case 2: {  // RANS64: x_max = freq << (31 - sb + 32)   (rans64.h:83)
+        auto xmax = [&](int sym) {
+          return (uint64_t)m.freqs[sym] << (31 - sb + 32);
+        };
+        auto upd = [&](uint64_t x, int sym) {
+          return ((x / m.freqs[sym]) << sb) + (x % m.freqs[sym]) + m.cum[sym];
+        };
+        words = encode_stream<R64Traits>(
+            L, s, data, xmax, upd, (uint32_t*)(out + total),
+            (out_capacity - total) / (int64_t)sizeof(uint32_t));
+        break;
+      }
+      case 3: {  // ALIAS: byte renorm + remapped slot (main_alias.cpp:241-250)
+        auto xmax = [&](int sym) {
+          return (uint64_t)m.freqs[sym] << (23 - sb + 8);
+        };
+        auto upd = [&](uint64_t x, int sym) {
+          return ((x / m.freqs[sym]) << sb) +
+                 alias.remap[(x % m.freqs[sym]) + m.cum[sym]];
+        };
+        words = encode_stream<ByteTraits>(
+            L, s, data, xmax, upd, out + total,
+            (out_capacity - total) / (int64_t)sizeof(uint8_t));
+        break;
+      }
+      default:
+        return -2;
+    }
+    if (words < 0) return -1;
+    stream_words[s] = words;
+    const int word_size = (variant == 1) ? 2 : (variant == 2) ? 4 : 1;
+    total += words * word_size;
+  }
+  return total;
+}
+
+// Decode a payload produced by trans_encode. Returns 0, or -2 on bad args.
+int64_t trans_decode(int variant, int prob_bits, int n_lanes,
+                     int lanes_per_stream, const uint8_t* payload,
+                     const int64_t* stream_words, int64_t n_symbols,
+                     const uint32_t* freqs, const uint32_t* cum_freqs_u32,
+                     uint8_t* out) {
+  if (n_lanes <= 0 || lanes_per_stream <= 0 || n_lanes % lanes_per_stream)
+    return -2;
+  Layout L = make_layout(n_symbols, n_lanes, lanes_per_stream);
+  Model m;
+  m.init(freqs, cum_freqs_u32, prob_bits);
+  const int sb = prob_bits;
+  const uint64_t mask = (1ull << sb) - 1;
+
+  AliasTables alias;
+  if (variant == 3 && !build_alias(m.freqs, m.cum, sb, &alias)) return -2;
+
+  int64_t off = 0;
+  for (int s = 0; s < L.n_streams; s++) {
+    switch (variant) {
+      case 0: {
+        auto step = [&](uint64_t x, int* sym) {
+          const uint64_t slot = x & mask;
+          const int sy = m.c2s[slot];
+          *sym = sy;
+          return m.freqs[sy] * (x >> sb) + slot - m.cum[sy];
+        };
+        decode_stream<ByteTraits>(L, s, payload + off, step, out);
+        off += stream_words[s];
+        break;
+      }
+      case 1: {
+        auto step = [&](uint64_t x, int* sym) {
+          const uint64_t slot = x & mask;
+          const int sy = m.c2s[slot];
+          *sym = sy;
+          return m.freqs[sy] * (x >> sb) + slot - m.cum[sy];
+        };
+        decode_stream<WordTraits>(L, s, (const uint16_t*)(payload + off),
+                                  step, out);
+        off += stream_words[s] * 2;
+        break;
+      }
+      case 2: {
+        auto step = [&](uint64_t x, int* sym) {
+          const uint64_t slot = x & mask;
+          const int sy = m.c2s[slot];
+          *sym = sy;
+          return m.freqs[sy] * (x >> sb) + slot - m.cum[sy];
+        };
+        decode_stream<R64Traits>(L, s, (const uint32_t*)(payload + off), step,
+                                 out);
+        off += stream_words[s] * 4;
+        break;
+      }
+      case 3: {  // alias O(1) lookup (main_alias.cpp:252-267)
+        auto step = [&](uint64_t x, int* sym) {
+          const uint64_t xm = x & mask;
+          uint32_t b2 = (uint32_t)(xm >> (sb - 8)) * 2;
+          if (xm < alias.divider[b2 >> 1]) b2++;
+          *sym = alias.sym_id[b2];
+          return alias.slot_freqs[b2] * (x >> sb) + xm - alias.slot_adjust[b2];
+        };
+        decode_stream<ByteTraits>(L, s, payload + off, step, out);
+        off += stream_words[s];
+        break;
+      }
+      default:
+        return -2;
+    }
+  }
+  return 0;
+}
+
+// Build-and-export alias tables so Python/JAX paths can share one builder.
+// Buffers: divider[256], slot_freqs[512], slot_adjust[512], sym_id[512],
+// remap[1<<scale_bits].  Returns 0 on success.
+int64_t trans_build_alias(int scale_bits, const uint32_t* freqs,
+                          const uint32_t* cum_freqs_u32, uint32_t* divider,
+                          uint32_t* slot_freqs, uint32_t* slot_adjust,
+                          uint8_t* sym_id, uint32_t* remap) {
+  uint64_t cum[kNSyms + 1];
+  for (int i = 0; i <= kNSyms; i++) cum[i] = cum_freqs_u32[i];
+  AliasTables t;
+  if (!build_alias(freqs, cum, scale_bits, &t)) return -2;
+  std::memcpy(divider, t.divider.data(), 256 * 4);
+  std::memcpy(slot_freqs, t.slot_freqs.data(), 512 * 4);
+  std::memcpy(slot_adjust, t.slot_adjust.data(), 512 * 4);
+  std::memcpy(sym_id, t.sym_id.data(), 512);
+  std::memcpy(remap, t.remap.data(), ((size_t)1 << scale_bits) * 4);
+  return 0;
+}
+
+}  // extern "C"
