@@ -119,7 +119,7 @@ class RansConfig:
     prob_bits: int = 12
     n_lanes: int = 1024
     lanes_per_stream: int = LANES_PER_STREAM
-    block_symbols: int = 1 << 22  # symbols per data-parallel block
+    block_symbols: int = 1 << 19  # symbols per data-parallel block (VMEM-bounded)
     checksum: bool = True
 
     def __post_init__(self):

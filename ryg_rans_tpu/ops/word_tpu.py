@@ -1,0 +1,391 @@
+"""Flagship TPU codec: word-based rANS (16-bit renorm) over thousands of
+Pallas vector lanes, block-parallel over a grid.
+
+TPU-native re-design of the reference's SIMD decoder (rans_word_sse41.h):
+
+* the reference's 8 interleaved states in two SSE registers become
+  ``N = R * 128`` states in R vreg rows (R=32 -> 4096 lanes);
+* its two-table slot lookup (slots[] + slot2sym[], rans_word_sse41.h:58-61)
+  becomes ONE packed (freq-1|bias|sym) uint32 table swept with lane gathers
+  (models/tables.pack_word_slots);
+* its movemask + shuffle-LUT renorm (rans_word_sse41.h:182-227) becomes a
+  branchless mask -> triangular-matmul prefix sum (MXU) -> window gather;
+* the encoder, scalar in the reference (main_simd.cpp:306), is vectorized
+  here too: dense per-step emission from the Pallas kernel followed by an
+  XLA prefix-sum compaction, with exact division done as an fp32 estimate
+  plus integer fixup (ops/lanes.exact_div);
+* independent fixed-size blocks map onto the Pallas grid; block buffers live
+  in HBM and are staged through VMEM per grid step (double-buffered by the
+  Pallas pipeline), which is the kernel-level face of the framework's
+  block-data-parallel scale-out (parallel/).
+
+Blocks are padded to a multiple of 4*N symbols with the most frequent
+symbol so every kernel step is full (no tail masking in the hot loop); the
+container records the true length.  Symbols travel packed 4-per-int32.
+
+The stream format is identical to the oracle/native format with
+``lanes_per_stream == n_lanes`` (one substream per block): [2N u16 state
+words, lane-ascending lo/hi] ++ [renorm words, (step asc, lane asc)].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RansConfig, Variant
+from ..models import tables as tables_mod
+from . import lanes
+
+# ---------------------------------------------------------------------------
+# Table packing (host side)
+# ---------------------------------------------------------------------------
+
+
+def pack_dec_rows(freqs, cum_freqs, scale_bits: int) -> np.ndarray:
+    """Packed decode slot table as (M/128, 128) int32 rows."""
+    t = tables_mod.pack_word_slots(freqs, cum_freqs, scale_bits)
+    return t.view(np.int32).reshape(-1, 128)
+
+
+def pack_enc_rows(freqs, cum_freqs, scale_bits: int) -> np.ndarray:
+    """Per-symbol encode table (freq << 16) | start as (2,128) int32."""
+    assert scale_bits <= 16
+    f = np.asarray(freqs, np.uint32)
+    c = np.asarray(cum_freqs[:256], np.uint32)
+    packed = (f << 16) | c
+    return packed.view(np.int32).reshape(2, 128)
+
+
+def _supports(cfg: RansConfig):
+    if cfg.variant != Variant.WORD:
+        raise ValueError("word_tpu handles the WORD variant")
+    if cfg.prob_bits > 12:
+        raise ValueError("packed word tables need prob_bits <= 12")
+    if cfg.n_lanes % 128 or cfg.n_lanes < 128:
+        raise ValueError("TPU word kernel needs n_lanes to be a multiple of 128")
+    # Compiled multi-block grids slice (R,128)-row blocks, and Mosaic requires
+    # sliced sublane extents to be multiples of 8 -> R % 8 == 0 on hardware.
+    # (Interpret mode used in CPU tests accepts any R.)
+    if cfg.lanes_per_stream != cfg.n_lanes:
+        raise ValueError("TPU word kernel uses one substream per block")
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(tab_ref, x0_ref, stream_ref, out_ref, *, T4: int, R: int,
+                   sb: int):
+    """Decode one block: 4*T4 steps over (R,128) lanes."""
+    tab = tab_ref[:]
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+           ).astype(jnp.float32)
+    M1 = (1 << sb) - 1
+    rows = (1 << sb) // 128
+    wrows = R + 1
+
+    def body(i4, carry):
+        x, base = carry
+        spk = jnp.zeros((R, 128), jnp.int32)
+        for k in range(4):
+            slot = x & M1
+            packed = lanes.table_lookup(tab, slot, rows, (R, 128))
+            freq = lanes.srl(packed, 20) + 1
+            bias = lanes.srl(packed, 8) & 0xFFF
+            spk = spk | ((packed & 0xFF) << (8 * k))
+            # advance: x = freq * (x >> sb) + bias (rans_word_sse41.h:126-130)
+            x = freq * lanes.srl(x, sb) + bias
+            # renorm (<=1 word, rans_word_sse41.h:31-34)
+            m = lanes.ult(x, 1 << 16)
+            incl, total = lanes.lane_prefix_sum(m.astype(jnp.float32), tri, R)
+            w = stream_ref[pl.ds(jax.lax.shift_right_logical(base, 7), wrows), :]
+            gidx = base + jnp.where(m, incl - 1, 0)
+            rel = jax.lax.shift_right_logical(gidx, 7) \
+                - jax.lax.shift_right_logical(base, 7)
+            col = gidx & 127
+            wv = jnp.zeros((R, 128), jnp.int32)
+            for r in range(wrows):
+                wr = jnp.broadcast_to(w[r:r + 1, :], (R, 128))
+                v = jnp.take_along_axis(wr, col, axis=1)
+                wv = jnp.where(rel == r, v, wv)
+            x = jnp.where(m, (x << 16) | wv, x)
+            base = base + total
+        out_ref[pl.ds(i4 * R, R), :] = spk
+        return (x, base)
+
+    jax.lax.fori_loop(0, T4, body, (x0_ref[:], jnp.int32(0)))
+
+
+@functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
+                                             "n_blocks", "interpret"))
+def decode_blocks(tab_rows, x0, stream_rows, *, T4: int, R: int, sb: int,
+                  cap_rows: int, n_blocks: int, interpret: bool = False):
+    """Grid decode of ``n_blocks`` blocks.
+
+    x0: (n_blocks*R, 128); stream_rows: (n_blocks*cap_rows, 128);
+    returns (n_blocks*T4*R, 128) int32 of 4-packed symbols.
+    """
+    rows = (1 << sb) // 128
+    return pl.pallas_call(
+        functools.partial(_decode_kernel, T4=T4, R=R, sb=sb),
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((rows, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap_rows, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tab_rows, x0, stream_rows)
+
+
+# ---------------------------------------------------------------------------
+# Encode kernel (dense emission phase)
+# ---------------------------------------------------------------------------
+
+
+def _encode_kernel(enc_ref, in_ref, emit_ref, xout_ref, *, T4: int, R: int,
+                   sb: int):
+    """Walk steps in reverse (rANS twist #1, rans_byte.h:22-23), emitting a
+    dense (word | valid<<16) cell per (step, lane)."""
+    enc = enc_ref[:]
+    L_SHIFT = 32 - sb  # x_max = freq << (16 - sb + 16)  (rans_word_sse41.h:85)
+
+    def body(i4, x):
+        t4 = T4 - 1 - i4
+        spk = in_ref[pl.ds(t4 * R, R), :]
+        for k in (3, 2, 1, 0):
+            sym = lanes.srl(spk, 8 * k) & 0xFF
+            e = lanes.table_lookup(enc, sym, 2, (R, 128))
+            freq = lanes.srl(e, 16)
+            start = e & 0xFFFF
+            thm1 = (freq << L_SHIFT) - 1  # wraps to 0xFFFFFFFF for freq=M
+            m = (x ^ lanes.I32_MIN) > (thm1 ^ lanes.I32_MIN)  # x >= freq<<sh
+            emit_ref[pl.ds((4 * t4 + k) * R, R), :] = jnp.where(
+                m, (x & 0xFFFF) | 0x10000, 0)
+            x = jnp.where(m, lanes.srl(x, 16), x)
+            q, r = lanes.exact_div(x, freq)
+            x = (q << sb) + r + start
+        return x
+
+    x = jax.lax.fori_loop(0, T4, body, jnp.full((R, 128), 1 << 16, jnp.int32))
+    xout_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "n_blocks",
+                                             "interpret"))
+def encode_blocks(enc_rows, syms_packed, *, T4: int, R: int, sb: int,
+                  n_blocks: int, interpret: bool = False):
+    """Grid dense encode.  syms_packed: (n_blocks*T4*R, 128).
+    Returns (emit (n_blocks*4*T4*R,128) i32, final states (n_blocks*R,128))."""
+    return pl.pallas_call(
+        functools.partial(_encode_kernel, T4=T4, R=R, sb=sb),
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks * 4 * T4 * R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * R, 128), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((2, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((4 * T4 * R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(enc_rows, syms_packed)
+
+
+# ---------------------------------------------------------------------------
+# XLA glue: packing, compaction, head assembly
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("T4", "R", "n_blocks"))
+def pack_symbols(data_u8, T4: int, R: int, n_blocks: int = 1):
+    """uint8 symbols -> (n_blocks*T4*R, 128) int32, 4 steps per word.
+
+    Word at [(b*T4 + t4)*R + r, lane] holds block b's symbols t = 4*t4+k of
+    lane (r,lane) in byte k.
+    """
+    a = data_u8.astype(jnp.int32).reshape(n_blocks, T4, 4, R, 128)
+    return (a[:, :, 0] | (a[:, :, 1] << 8) | (a[:, :, 2] << 16)
+            | (a[:, :, 3] << 24)).reshape(n_blocks * T4 * R, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("T4", "R", "n_blocks"))
+def unpack_symbols(spk, T4: int, R: int, n_blocks: int = 1):
+    """Inverse of pack_symbols -> flat uint8."""
+    a = spk.reshape(n_blocks, T4, R, 128)
+    out = jnp.stack([
+        a & 0xFF, (a >> 8) & 0xFF, (a >> 16) & 0xFF, (a >> 24) & 0xFF,
+    ], axis=2)  # (B, T4, 4, R, 128)
+    return out.reshape(-1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_words", "n_blocks"))
+def compact_emissions(emit, x_final, cap_words: int, n_blocks: int = 1):
+    """Dense (word|valid<<16) cells -> per-block word buffers + counts.
+
+    Returns (words (n_blocks, 2N+cap_words) int32 with head prepended,
+    n_words (n_blocks,) int32 incl. head).  The row-major flatten of each
+    block's emit region is exactly stream order; head = flushed states
+    lane-ascending lo/hi (RansWordEncFlush layout, rans_word_sse41.h:96-106).
+    """
+    R = x_final.shape[0] // n_blocks
+    N = R * 128
+    emit = emit.reshape(n_blocks, -1)
+    v = lanes.srl(emit, 16)
+    w = emit & 0xFFFF
+    pos = jnp.cumsum(v, axis=1) - v
+    totals = jnp.sum(v, axis=1)
+    idx = jnp.where(v == 1, pos, cap_words)
+    body = jnp.zeros((n_blocks, cap_words), jnp.int32)
+    body = jax.vmap(lambda b, i, ww: b.at[i].set(ww, mode="drop"))(body, idx, w)
+    xf = x_final.reshape(n_blocks, N)  # lane-ascending per block
+    head = jnp.stack([xf & 0xFFFF, lanes.srl(xf, 16)], axis=2).reshape(
+        n_blocks, 2 * N)
+    return jnp.concatenate([head, body], axis=1), totals + 2 * N
+
+
+@functools.partial(jax.jit, static_argnames=("R", "cap_rows", "n_blocks"))
+def prep_decode(words_i32, R: int, cap_rows: int, n_blocks: int = 1):
+    """(n_blocks, head+body) word values 0..65535 -> (x0, stream rows).
+
+    words rows are per-block buffers of identical capacity; only the first
+    n_words[b] entries are meaningful, the rest is ignored padding.
+    """
+    N = R * 128
+    head = words_i32[:, :2 * N].reshape(n_blocks, N, 2)
+    x0 = (head[:, :, 0] | (head[:, :, 1] << 16)).reshape(n_blocks * R, 128)
+    body = words_i32[:, 2 * N:]
+    pad = cap_rows * 128 - body.shape[1]
+    if pad < 0:
+        body = body[:, :cap_rows * 128]
+    else:
+        body = jnp.concatenate(
+            [body, jnp.zeros((n_blocks, pad), jnp.int32)], axis=1)
+    return x0, body.reshape(n_blocks * cap_rows, 128)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration (whole-buffer encode/decode on one device)
+# ---------------------------------------------------------------------------
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pad_block(data: np.ndarray, n_lanes: int, freqs) -> tuple[np.ndarray, int]:
+    """Pad to a multiple of 4*n_lanes with the most frequent symbol."""
+    S = data.size
+    step = 4 * n_lanes
+    S_pad = -(-max(S, 1) // step) * step
+    if S_pad == S:
+        return data, S
+    fill = int(np.argmax(freqs))
+    out = np.full(S_pad, fill, np.uint8)
+    out[:S] = data
+    return out, S
+
+
+def _split_blocks(cfg: RansConfig, padded_size: int):
+    """(n_full_blocks, tail_symbols).  All sizes multiples of 4N."""
+    B = cfg.block_symbols
+    n_full = padded_size // B
+    tail = padded_size - n_full * B
+    return n_full, tail
+
+
+def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
+           interpret: bool | None = None):
+    """Encode on TPU -> (list of per-block u16 word arrays, padded size)."""
+    _supports(cfg)
+    if interpret is None:
+        interpret = _default_interpret()
+    R = cfg.n_lanes // 128
+    N = cfg.n_lanes
+    padded, _ = pad_block(np.asarray(data, np.uint8), N, freqs)
+    enc_rows = jnp.asarray(pack_enc_rows(freqs, cum_freqs, cfg.prob_bits))
+    n_full, tail = _split_blocks(cfg, padded.size)
+
+    out_blocks: list[np.ndarray] = []
+
+    def run(chunk: np.ndarray, n_blocks: int):
+        T = chunk.size // n_blocks // N
+        T4 = T // 4
+        spk = pack_symbols(jnp.asarray(chunk), T4, R, n_blocks)
+        emit, xf = encode_blocks(enc_rows, spk, T4=T4, R=R, sb=cfg.prob_bits,
+                                 n_blocks=n_blocks, interpret=interpret)
+        cap = T * N  # <=1 word per symbol
+        words, n_words = compact_emissions(emit, xf, cap, n_blocks)
+        words_np = np.asarray(words)
+        for b in range(n_blocks):
+            nb = int(n_words[b])
+            out_blocks.append(words_np[b, :nb].astype(np.uint16))
+
+    if n_full:
+        run(padded[:n_full * cfg.block_symbols], n_full)
+    if tail:
+        run(padded[n_full * cfg.block_symbols:], 1)
+    return out_blocks, padded.size
+
+
+def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
+           n_symbols_padded: int, freqs, cum_freqs,
+           interpret: bool | None = None) -> np.ndarray:
+    """Decode per-block word buffers on TPU -> uint8 symbols (padded len)."""
+    _supports(cfg)
+    if interpret is None:
+        interpret = _default_interpret()
+    R = cfg.n_lanes // 128
+    N = cfg.n_lanes
+    tab_rows = jnp.asarray(pack_dec_rows(freqs, cum_freqs, cfg.prob_bits))
+    n_full, tail = _split_blocks(cfg, n_symbols_padded)
+    assert len(word_blocks) == n_full + (1 if tail else 0)
+
+    outs: list[np.ndarray] = []
+
+    def run(blocks: list[np.ndarray], n_symbols_block: int):
+        n_blocks = len(blocks)
+        T = n_symbols_block // N
+        T4 = T // 4
+        # capacity: full body + N words of overread pad (the Pallas analog of
+        # the reference's +16B SIMD pad, main_simd.cpp:145-146); rounded to a
+        # multiple of 8 rows for the Mosaic sublane tiling constraint
+        max_words = max(b.size for b in blocks)
+        cap_rows = -(-(max_words - 2 * N + N + 128) // 128)
+        cap_rows = -(-cap_rows // 8) * 8
+        buf = np.zeros((n_blocks, max_words), np.int32)
+        for i, b in enumerate(blocks):
+            buf[i, :b.size] = b.astype(np.int32)
+        x0, stream_rows = prep_decode(jnp.asarray(buf), R, cap_rows, n_blocks)
+        spk = decode_blocks(tab_rows, x0, stream_rows, T4=T4, R=R,
+                            sb=cfg.prob_bits, cap_rows=cap_rows,
+                            n_blocks=n_blocks, interpret=interpret)
+        outs.append(np.asarray(unpack_symbols(spk, T4, R, n_blocks)))
+
+    if n_full:
+        run(word_blocks[:n_full], cfg.block_symbols)
+    if tail:
+        run(word_blocks[n_full:], n_symbols_padded - n_full * cfg.block_symbols)
+    return np.concatenate(outs) if outs else np.zeros(0, np.uint8)

@@ -1,0 +1,145 @@
+"""Self-describing container for compressed streams.
+
+The reference has NO container: demos keep the frequency table and input
+size in program variables and the raw stream has no header (SURVEY.md §5,
+"checkpoint/resume: absent").  Block-parallel decode and multi-host gather
+need one, so this defines it:
+
+    offset  size  field
+    0       4     magic "TRNS"
+    4       1     version (=1)
+    5       1     variant (config.Variant)
+    6       1     prob_bits
+    7       1     log2(n_lanes)
+    8       1     log2(lanes_per_stream)
+    9       1     flags (bit0: per-block crc32 of the original bytes)
+    10      2     reserved (0)
+    12      4     n_blocks (u32)
+    16      8     orig_len in bytes (u64)
+    24      4     block_symbols (u32)
+    28      4     reserved (0)
+    32      1024  freqs u32[256] (normalized to sum 1<<prob_bits)
+    1056    4*n_blocks*n_streams   per-substream word counts (u32)
+    ...     4*n_blocks             crc32 per block (if flag bit0)
+    ...     payload: per block, per substream, word-aligned little-endian
+
+Every block's symbol payload is the block's bytes padded to a multiple of
+4*n_lanes with the most frequent symbol (kernel steps stay mask-free); the
+padding is stripped on decode using orig_len.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+import zlib
+
+import numpy as np
+
+from ..config import NSYMS, RansConfig, Variant
+
+MAGIC = b"TRNS"
+VERSION = 1
+_HEADER = struct.Struct("<4sBBBBBBHIQII")
+assert _HEADER.size == 32
+
+FLAG_CRC = 1
+
+
+@dataclasses.dataclass
+class Container:
+    cfg: RansConfig
+    orig_len: int
+    freqs: np.ndarray                  # u32[256]
+    stream_words: np.ndarray           # u32 [n_blocks, n_streams]
+    crcs: np.ndarray | None            # u32 [n_blocks] or None
+    payloads: list[list[np.ndarray]]   # [block][substream] word arrays
+
+    @property
+    def padded_len(self) -> int:
+        step = 4 * self.cfg.n_lanes
+        return -(-max(self.orig_len, 1) // step) * step
+
+    def block_sizes(self) -> list[int]:
+        """Padded symbol count per block."""
+        B = self.cfg.block_symbols
+        total = self.padded_len
+        n_full = total // B
+        sizes = [B] * n_full
+        if total - n_full * B:
+            sizes.append(total - n_full * B)
+        return sizes
+
+
+def word_dtype(variant: Variant):
+    return {Variant.BYTE: np.uint8, Variant.WORD: np.uint16,
+            Variant.RANS64: np.uint32, Variant.ALIAS: np.uint8}[variant]
+
+
+def pack(cfg: RansConfig, orig_len: int, freqs: np.ndarray,
+         payloads: list[list[np.ndarray]],
+         crcs: np.ndarray | None = None) -> bytes:
+    n_blocks = len(payloads)
+    flags = FLAG_CRC if crcs is not None else 0
+    head = _HEADER.pack(
+        MAGIC, VERSION, int(cfg.variant), cfg.prob_bits,
+        cfg.n_lanes.bit_length() - 1, cfg.lanes_per_stream.bit_length() - 1,
+        flags, 0, n_blocks, orig_len, cfg.block_symbols, 0)
+    parts = [head, np.asarray(freqs, np.uint32).tobytes()]
+    counts = np.array(
+        [[s.size for s in blk] for blk in payloads], np.uint32)
+    parts.append(counts.tobytes())
+    if crcs is not None:
+        parts.append(np.asarray(crcs, np.uint32).tobytes())
+    wdt = word_dtype(cfg.variant)
+    for blk in payloads:
+        for s in blk:
+            parts.append(np.ascontiguousarray(s, wdt).tobytes())
+    return b"".join(parts)
+
+
+def unpack(blob: bytes | memoryview) -> Container:
+    blob = memoryview(blob)
+    if len(blob) < _HEADER.size + 4 * NSYMS:
+        raise ValueError("container truncated")
+    (magic, version, variant, prob_bits, log_lanes, log_lpg, flags, _rsv,
+     n_blocks, orig_len, block_symbols, _rsv2) = _HEADER.unpack(
+        blob[:_HEADER.size])
+    if magic != MAGIC:
+        raise ValueError("not a TRNS container")
+    if version != VERSION:
+        raise ValueError(f"unsupported container version {version}")
+    cfg = RansConfig(
+        variant=Variant(variant), prob_bits=prob_bits,
+        n_lanes=1 << log_lanes, lanes_per_stream=1 << log_lpg,
+        block_symbols=block_symbols, checksum=bool(flags & FLAG_CRC))
+    off = _HEADER.size
+    freqs = np.frombuffer(blob[off:off + 4 * NSYMS], np.uint32).copy()
+    off += 4 * NSYMS
+    ns = cfg.n_streams
+    counts = np.frombuffer(
+        blob[off:off + 4 * n_blocks * ns], np.uint32).reshape(n_blocks, ns)
+    off += 4 * n_blocks * ns
+    crcs = None
+    if flags & FLAG_CRC:
+        crcs = np.frombuffer(blob[off:off + 4 * n_blocks], np.uint32).copy()
+        off += 4 * n_blocks
+    wdt = word_dtype(cfg.variant)
+    wsize = np.dtype(wdt).itemsize
+    payloads: list[list[np.ndarray]] = []
+    for b in range(n_blocks):
+        blk = []
+        for s in range(ns):
+            n = int(counts[b, s])
+            blk.append(np.frombuffer(blob[off:off + n * wsize], wdt).copy())
+            off += n * wsize
+        payloads.append(blk)
+    if off != len(blob):
+        raise ValueError(
+            f"container size mismatch: parsed {off} of {len(blob)} bytes")
+    return Container(cfg=cfg, orig_len=orig_len, freqs=freqs,
+                     stream_words=counts, crcs=crcs, payloads=payloads)
+
+
+def crc32(data: np.ndarray) -> int:
+    return zlib.crc32(np.ascontiguousarray(data, np.uint8).tobytes())

@@ -1,0 +1,92 @@
+"""Container + public compress/decompress API tests."""
+
+import numpy as np
+import pytest
+
+from ryg_rans_tpu import api, native
+from ryg_rans_tpu.config import RansConfig, Variant
+from ryg_rans_tpu.utils import container as cont
+
+VARIANTS = [Variant.BYTE, Variant.WORD, Variant.RANS64, Variant.ALIAS]
+
+
+def _cfg(variant, **kw):
+    defaults = dict(
+        variant=variant,
+        prob_bits={Variant.WORD: 12, Variant.ALIAS: 16}.get(variant, 14),
+        n_lanes=64, lanes_per_stream=32, block_symbols=8192)
+    defaults.update(kw)
+    return RansConfig(**defaults)
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_compress_roundtrip_numpy(book1_head, variant):
+    data = book1_head[:20000].tobytes()
+    blob = api.compress(data, _cfg(variant), backend="numpy")
+    assert api.decompress(blob, backend="numpy") == data
+
+
+@pytest.mark.skipif(not native.available(), reason="no native core")
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_native_and_numpy_containers_identical(book1_head, variant):
+    data = book1_head[:20000].tobytes()
+    cfg = _cfg(variant)
+    blob_np = api.compress(data, cfg, backend="numpy")
+    blob_c = api.compress(data, cfg, backend="native")
+    assert blob_np == blob_c
+    assert api.decompress(blob_c, backend="native") == data
+    # cross-backend decode
+    assert api.decompress(blob_np, backend="native") == data
+    assert api.decompress(blob_c, backend="numpy") == data
+
+
+def test_multiblock_roundtrip(book1_head):
+    cfg = _cfg(Variant.WORD, block_symbols=4096)
+    data = book1_head[:30000].tobytes()  # 7 full blocks + tail
+    blob = api.compress(data, cfg, backend="numpy")
+    c = cont.unpack(blob)
+    assert len(c.payloads) == 8
+    assert api.decompress(blob, backend="numpy") == data
+
+
+def test_empty_input():
+    blob = api.compress(b"", _cfg(Variant.WORD))
+    assert api.decompress(blob) == b""
+
+
+def test_crc_detects_corruption(book1_head):
+    data = book1_head[:10000].tobytes()
+    blob = bytearray(api.compress(data, _cfg(Variant.WORD), backend="numpy"))
+    blob[len(blob) // 2] ^= 0x40  # flip a payload bit mid-stream
+    with pytest.raises(ValueError, match="crc|container"):
+        api.decompress(bytes(blob), backend="numpy")
+
+
+def test_container_rejects_garbage():
+    with pytest.raises(ValueError):
+        cont.unpack(b"NOPE" + b"\0" * 64)
+    with pytest.raises(ValueError):
+        api.decompress(b"TRNS" + b"\0" * 10)
+
+
+def test_container_fields_roundtrip(book1_head):
+    cfg = _cfg(Variant.ALIAS)
+    data = book1_head[:5000].tobytes()
+    c = cont.unpack(api.compress(data, cfg, backend="numpy"))
+    assert c.cfg.variant == Variant.ALIAS
+    assert c.cfg.prob_bits == 16
+    assert c.cfg.n_lanes == 64
+    assert c.cfg.lanes_per_stream == 32
+    assert c.orig_len == 5000
+    assert int(c.freqs.sum()) == 1 << 16
+
+
+@pytest.mark.skipif(not native.available(), reason="no native core")
+def test_compression_ratio_book1_native(book1):
+    """Container overhead stays small: payload within 1.6 KiB + 0.2% of the
+    reference 8-way size on full book1."""
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=8,
+                     lanes_per_stream=8, block_symbols=1 << 20)
+    blob = api.compress(book1.tobytes(), cfg, backend="native")
+    assert api.decompress(blob, backend="native") == book1.tobytes()
+    assert len(blob) < 435626 + 1600 + int(0.002 * 435626)
