@@ -53,6 +53,26 @@ def pack_dec_rows(freqs, cum_freqs, scale_bits: int) -> np.ndarray:
     return t.view(np.int32).reshape(-1, 128)
 
 
+def pack_dec_rows2(freqs, cum_freqs, scale_bits: int):
+    """Two-level decode tables minimizing gather rows.
+
+    Level 1: cum2sym packed 4 symbols per int32 -> (M/512, 128) rows.
+    Level 2: per-symbol (freq << 16) | cum -> (2, 128) rows.
+    The decoder recovers bias as slot - cum[sym] instead of storing it
+    (rans_word_sse41.h:64-72 bakes bias per slot; recomputing trades one
+    subtract for 3x fewer gather rows).
+    """
+    from ..models import stats as stats_mod
+    c2s = stats_mod.cum2sym(cum_freqs, scale_bits).astype(np.uint32)
+    s4 = (c2s[0::4] | (c2s[1::4] << 8) | (c2s[2::4] << 16)
+          | (c2s[3::4] << 24))
+    sym4_rows = s4.view(np.int32).reshape(-1, 128)
+    fc = (np.asarray(freqs, np.uint32) << 16) \
+        | np.asarray(cum_freqs[:256], np.uint32)
+    fc_rows = fc.view(np.int32).reshape(2, 128)
+    return sym4_rows, fc_rows
+
+
 def pack_enc_rows(freqs, cum_freqs, scale_bits: int) -> np.ndarray:
     """Per-symbol encode table (freq << 16) | start as (2,128) int32."""
     assert scale_bits <= 16
@@ -65,8 +85,9 @@ def pack_enc_rows(freqs, cum_freqs, scale_bits: int) -> np.ndarray:
 def _supports(cfg: RansConfig):
     if cfg.variant != Variant.WORD:
         raise ValueError("word_tpu handles the WORD variant")
-    if cfg.prob_bits > 12:
-        raise ValueError("packed word tables need prob_bits <= 12")
+    if not 9 <= cfg.prob_bits <= 12:
+        raise ValueError("TPU word kernel needs 9 <= prob_bits <= 12 "
+                         "(packed 12-bit slot fields, 128-wide sym4 rows)")
     if cfg.n_lanes % 128 or cfg.n_lanes < 128:
         raise ValueError("TPU word kernel needs n_lanes to be a multiple of 128")
     # Compiled multi-block grids slice (R,128)-row blocks, and Mosaic requires
@@ -81,42 +102,74 @@ def _supports(cfg: RansConfig):
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel(tab_ref, x0_ref, stream_ref, out_ref, *, T4: int, R: int,
-                   sb: int):
-    """Decode one block: 4*T4 steps over (R,128) lanes."""
-    tab = tab_ref[:]
+def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
+                   T4: int, R: int, sb: int):
+    """Decode one block: 4*T4 steps over (R,128) lanes.
+
+    Gather-count-optimized (see docs/DESIGN.md):
+    * two-level symbol lookup -- cum2sym packed 4/int32 (M/512 rows) then a
+      2-row (freq|cum) gather -- instead of the 1-level M/128-row slot table;
+    * renorm words packed 2/int32 in the window buffer, halving window rows;
+    * the window sweep covers WFAST rows unconditionally (enough for typical
+      ~0.28 words/lane consumption) and falls back to the full worst-case
+      span inside a rarely-taken lax.cond.
+    """
+    sym4 = sym4_ref[:]
+    fc = fc_ref[:]
     tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
            ).astype(jnp.float32)
     M1 = (1 << sb) - 1
-    rows = (1 << sb) // 128
-    wrows = R + 1
+    s4rows = (1 << sb) // 512
+    WMAX = (R + 1) // 2 + 1   # worst-case pair-rows a step can touch
+    # Fast-path span: covers ~2x the typical consumption (~0.28 words/lane
+    # at entropy ~4.5 bits/byte); tuned on v5e (docs/DESIGN.md).
+    WFAST = min(WMAX, max(2, R // 4))
 
     def body(i4, carry):
         x, base = carry
         spk = jnp.zeros((R, 128), jnp.int32)
         for k in range(4):
             slot = x & M1
-            packed = lanes.table_lookup(tab, slot, rows, (R, 128))
-            freq = lanes.srl(packed, 20) + 1
-            bias = lanes.srl(packed, 8) & 0xFFF
-            spk = spk | ((packed & 0xFF) << (8 * k))
-            # advance: x = freq * (x >> sb) + bias (rans_word_sse41.h:126-130)
-            x = freq * lanes.srl(x, sb) + bias
+            # two-level symbol lookup
+            s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows, (R, 128))
+            sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
+            e = lanes.table_lookup(fc, sym, 2, (R, 128))
+            freq = lanes.srl(e, 16)
+            cumv = e & 0xFFFF
+            spk = spk | (sym << (8 * k))
+            # advance: x = freq*(x>>sb) + (slot - cum)  (rans_word_sse41.h:126)
+            x = freq * lanes.srl(x, sb) + slot - cumv
             # renorm (<=1 word, rans_word_sse41.h:31-34)
             m = lanes.ult(x, 1 << 16)
             incl, total = lanes.lane_prefix_sum(m.astype(jnp.float32), tri, R)
-            w = stream_ref[pl.ds(jax.lax.shift_right_logical(base, 7), wrows), :]
             gidx = base + jnp.where(m, incl - 1, 0)
-            rel = jax.lax.shift_right_logical(gidx, 7) \
-                - jax.lax.shift_right_logical(base, 7)
-            col = gidx & 127
+            brow = jax.lax.shift_right_logical(base, 8)
+            rel = jax.lax.shift_right_logical(gidx, 8) - brow
+            col = jax.lax.shift_right_logical(gidx, 1) & 127
+            half = (gidx & 1) << 4
+            wfast = stream2_ref[pl.ds(brow, WFAST), :]
             wv = jnp.zeros((R, 128), jnp.int32)
-            for r in range(wrows):
-                wr = jnp.broadcast_to(w[r:r + 1, :], (R, 128))
+            for r in range(WFAST):
+                wr = jnp.broadcast_to(wfast[r:r + 1, :], (R, 128))
                 v = jnp.take_along_axis(wr, col, axis=1)
                 wv = jnp.where(rel == r, v, wv)
-            x = jnp.where(m, (x << 16) | wv, x)
+            if WMAX > WFAST:
+                need_rare = jax.lax.shift_right_logical(
+                    (base & 255) + total + 255, 8) > WFAST
+
+                def rare():
+                    wrest = stream2_ref[pl.ds(brow + WFAST, WMAX - WFAST), :]
+                    acc = wv
+                    for r in range(WMAX - WFAST):
+                        wr = jnp.broadcast_to(wrest[r:r + 1, :], (R, 128))
+                        v = jnp.take_along_axis(wr, col, axis=1)
+                        acc = jnp.where(rel == WFAST + r, v, acc)
+                    return acc
+
+                wv = jax.lax.cond(need_rare, rare, lambda: wv)
+            word = lanes.srl(wv, half) & 0xFFFF
+            x = jnp.where(m, (x << 16) | word, x)
             base = base + total
         out_ref[pl.ds(i4 * R, R), :] = spk
         return (x, base)
@@ -126,20 +179,27 @@ def _decode_kernel(tab_ref, x0_ref, stream_ref, out_ref, *, T4: int, R: int,
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "interpret"))
-def decode_blocks(tab_rows, x0, stream_rows, *, T4: int, R: int, sb: int,
-                  cap_rows: int, n_blocks: int, interpret: bool = False):
+def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
+                  sb: int, cap_rows: int, n_blocks: int,
+                  interpret: bool = False):
     """Grid decode of ``n_blocks`` blocks.
 
-    x0: (n_blocks*R, 128); stream_rows: (n_blocks*cap_rows, 128);
-    returns (n_blocks*T4*R, 128) int32 of 4-packed symbols.
+    x0: (n_blocks*R, 128); stream2_rows: (n_blocks*cap_rows, 128) with renorm
+    words packed 2-per-int32; returns (n_blocks*T4*R, 128) int32 of 4-packed
+    symbols.
     """
-    rows = (1 << sb) // 128
+    if not interpret and R < 2:
+        raise ValueError("compiled TPU decode needs n_lanes >= 256 "
+                         "(Mosaic lane-gathers reject single-sublane shapes)")
+    s4rows = (1 << sb) // 512
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb),
         grid=(n_blocks,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=[
-            pl.BlockSpec((rows, 128), lambda b: (0, 0),
+            pl.BlockSpec((s4rows, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -149,7 +209,7 @@ def decode_blocks(tab_rows, x0, stream_rows, *, T4: int, R: int, sb: int,
         out_specs=pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tab_rows, x0, stream_rows)
+    )(sym4_rows, fc_rows, x0, stream2_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -191,6 +251,9 @@ def encode_blocks(enc_rows, syms_packed, *, T4: int, R: int, sb: int,
                   n_blocks: int, interpret: bool = False):
     """Grid dense encode.  syms_packed: (n_blocks*T4*R, 128).
     Returns (emit (n_blocks*4*T4*R,128) i32, final states (n_blocks*R,128))."""
+    if not interpret and R < 2:
+        raise ValueError("compiled TPU encode needs n_lanes >= 256 "
+                         "(Mosaic lane-gathers reject single-sublane shapes)")
     return pl.pallas_call(
         functools.partial(_encode_kernel, T4=T4, R=R, sb=sb),
         grid=(n_blocks,),
@@ -224,21 +287,20 @@ def pack_symbols(data_u8, T4: int, R: int, n_blocks: int = 1):
     """uint8 symbols -> (n_blocks*T4*R, 128) int32, 4 steps per word.
 
     Word at [(b*T4 + t4)*R + r, lane] holds block b's symbols t = 4*t4+k of
-    lane (r,lane) in byte k.
+    lane (r,lane) in byte k.  Implemented as transpose + bitcast (one
+    relayout) rather than 4 shifted adds.
     """
-    a = data_u8.astype(jnp.int32).reshape(n_blocks, T4, 4, R, 128)
-    return (a[:, :, 0] | (a[:, :, 1] << 8) | (a[:, :, 2] << 16)
-            | (a[:, :, 3] << 24)).reshape(n_blocks * T4 * R, 128)
+    a = data_u8.reshape(n_blocks, T4, 4, R, 128).transpose(0, 1, 3, 4, 2)
+    return jax.lax.bitcast_convert_type(a, jnp.int32).reshape(
+        n_blocks * T4 * R, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "n_blocks"))
 def unpack_symbols(spk, T4: int, R: int, n_blocks: int = 1):
     """Inverse of pack_symbols -> flat uint8."""
-    a = spk.reshape(n_blocks, T4, R, 128)
-    out = jnp.stack([
-        a & 0xFF, (a >> 8) & 0xFF, (a >> 16) & 0xFF, (a >> 24) & 0xFF,
-    ], axis=2)  # (B, T4, 4, R, 128)
-    return out.reshape(-1).astype(jnp.uint8)
+    b = jax.lax.bitcast_convert_type(
+        spk.reshape(n_blocks, T4, R, 128), jnp.uint8)  # (B,T4,R,128,4)
+    return b.transpose(0, 1, 4, 2, 3).reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("cap_words", "n_blocks"))
@@ -268,22 +330,25 @@ def compact_emissions(emit, x_final, cap_words: int, n_blocks: int = 1):
 
 @functools.partial(jax.jit, static_argnames=("R", "cap_rows", "n_blocks"))
 def prep_decode(words_i32, R: int, cap_rows: int, n_blocks: int = 1):
-    """(n_blocks, head+body) word values 0..65535 -> (x0, stream rows).
+    """(n_blocks, head+body) word values 0..65535 -> (x0, stream pair-rows).
 
     words rows are per-block buffers of identical capacity; only the first
-    n_words[b] entries are meaningful, the rest is ignored padding.
+    n_words[b] entries are meaningful, the rest is ignored padding.  Body
+    words are packed two per int32 for the decode kernel's window gathers.
     """
     N = R * 128
     head = words_i32[:, :2 * N].reshape(n_blocks, N, 2)
     x0 = (head[:, :, 0] | (head[:, :, 1] << 16)).reshape(n_blocks * R, 128)
     body = words_i32[:, 2 * N:]
-    pad = cap_rows * 128 - body.shape[1]
+    pad = 2 * cap_rows * 128 - body.shape[1]
     if pad < 0:
-        body = body[:, :cap_rows * 128]
+        body = body[:, :2 * cap_rows * 128]
     else:
         body = jnp.concatenate(
             [body, jnp.zeros((n_blocks, pad), jnp.int32)], axis=1)
-    return x0, body.reshape(n_blocks * cap_rows, 128)
+    body = body.reshape(n_blocks, cap_rows * 128, 2)
+    packed = body[:, :, 0] | (body[:, :, 1] << 16)
+    return x0, packed.reshape(n_blocks * cap_rows, 128)
 
 
 # ---------------------------------------------------------------------------
@@ -359,7 +424,8 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
         interpret = _default_interpret()
     R = cfg.n_lanes // 128
     N = cfg.n_lanes
-    tab_rows = jnp.asarray(pack_dec_rows(freqs, cum_freqs, cfg.prob_bits))
+    s4, fc = pack_dec_rows2(freqs, cum_freqs, cfg.prob_bits)
+    sym4_rows, fc_rows = jnp.asarray(s4), jnp.asarray(fc)
     n_full, tail = _split_blocks(cfg, n_symbols_padded)
     assert len(word_blocks) == n_full + (1 if tail else 0)
 
@@ -369,17 +435,17 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
         n_blocks = len(blocks)
         T = n_symbols_block // N
         T4 = T // 4
-        # capacity: full body + N words of overread pad (the Pallas analog of
-        # the reference's +16B SIMD pad, main_simd.cpp:145-146); rounded to a
-        # multiple of 8 rows for the Mosaic sublane tiling constraint
+        # capacity in PAIR rows: full body + N words of overread pad (the
+        # Pallas analog of the reference's +16B SIMD pad,
+        # main_simd.cpp:145-146); rounded to 8 rows for Mosaic tiling
         max_words = max(b.size for b in blocks)
-        cap_rows = -(-(max_words - 2 * N + N + 128) // 128)
+        cap_rows = -(-(max_words - 2 * N + N + 256) // 256)
         cap_rows = -(-cap_rows // 8) * 8
         buf = np.zeros((n_blocks, max_words), np.int32)
         for i, b in enumerate(blocks):
             buf[i, :b.size] = b.astype(np.int32)
-        x0, stream_rows = prep_decode(jnp.asarray(buf), R, cap_rows, n_blocks)
-        spk = decode_blocks(tab_rows, x0, stream_rows, T4=T4, R=R,
+        x0, stream2 = prep_decode(jnp.asarray(buf), R, cap_rows, n_blocks)
+        spk = decode_blocks(sym4_rows, fc_rows, x0, stream2, T4=T4, R=R,
                             sb=cfg.prob_bits, cap_rows=cap_rows,
                             n_blocks=n_blocks, interpret=interpret)
         outs.append(np.asarray(unpack_symbols(spk, T4, R, n_blocks)))

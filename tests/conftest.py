@@ -7,11 +7,17 @@ multi-chip/multi-host code paths without TPU hardware.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override axon; tests run on CPU meshes
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin ignores the env var, so also pin via jax.config before
+# any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
