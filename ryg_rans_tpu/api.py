@@ -31,8 +31,26 @@ def _tpu_live() -> bool:
         return False
 
 
+#: max prob_bits per variant on the TPU kernel path
+_TPU_MAX_PB = {Variant.WORD: 12, Variant.BYTE: 14, Variant.ALIAS: 16,
+               Variant.RANS64: 0}  # RANS64 TPU kernel lands next
+
+
+def _tpu_mod(cfg: RansConfig):
+    """The kernel module handling ``cfg.variant`` (word_tpu / byte_tpu /
+    rans64_tpu); all expose the same encode/decode orchestration API."""
+    if cfg.variant == Variant.WORD:
+        from .ops import word_tpu
+        return word_tpu
+    if cfg.variant in (Variant.BYTE, Variant.ALIAS):
+        from .ops import byte_tpu
+        return byte_tpu
+    from .ops import rans64_tpu
+    return rans64_tpu
+
+
 def _tpu_supported(cfg: RansConfig) -> bool:
-    return (cfg.variant == Variant.WORD and cfg.prob_bits <= 12
+    return (9 <= cfg.prob_bits <= _TPU_MAX_PB[cfg.variant]
             and cfg.n_lanes >= 1024 and cfg.n_lanes % 1024 == 0
             and cfg.lanes_per_stream == cfg.n_lanes)
 
@@ -82,9 +100,8 @@ def compress(data, cfg: RansConfig | None = None,
     crcs = [] if cfg.checksum else None
 
     if be == "tpu":
-        from .ops import word_tpu
-        blocks, _ = word_tpu.encode(cfg, padded, freqs, cum,
-                                    interpret=not _tpu_live())
+        blocks, _ = _tpu_mod(cfg).encode(cfg, padded, freqs, cum,
+                                         interpret=not _tpu_live())
         payloads = [[b] for b in blocks]
     else:
         for off, size in _block_slices(cfg, padded.size):
@@ -123,10 +140,9 @@ def decompress(blob, backend: str = "auto") -> bytes:
 
     sizes = c.block_sizes()
     if be == "tpu":
-        from .ops import word_tpu
         blocks = [blk[0] for blk in c.payloads]
-        out = word_tpu.decode(cfg, blocks, c.padded_len, freqs, cum,
-                              interpret=not _tpu_live())
+        out = _tpu_mod(cfg).decode(cfg, blocks, c.padded_len, freqs, cum,
+                                   interpret=not _tpu_live())
     else:
         parts = []
         for b, size in enumerate(sizes):

@@ -1,0 +1,494 @@
+"""TPU kernels for the BYTE and ALIAS rANS variants (8-bit renorm).
+
+TPU-native re-design of the reference's byte-wise coders:
+
+* W1 rans_byte (rans_byte.h): 32-bit state, L = 1<<23, byte emission.  Its
+  looping renorm (rans_byte.h:62-74, 307-318) is bounded by 2 iterations per
+  symbol (pre-renorm x < 2^31 and the refill threshold L = 2^23 with 8-bit
+  words), so here it becomes exactly two branchless masked rounds with a
+  closed-form per-lane byte count ``k = (x < 2^23) + (x < 2^15)``.
+* W5 alias rANS (main_alias.cpp:241-267): same state machine, O(1) symbol
+  lookup.  The decode side gathers only the O(NSYMS) tables (divider[256],
+  packed freq|sym and adjust[512]) -- 10 gather rows total, making ALIAS the
+  cheapest per-symbol lookup of all variants on TPU.  The encode side's
+  alias_remap[M] bijection (65536 entries at prob_bits 16 -- far too large
+  to sweep) is rebuilt as <=512 constant-delta segments of the idx domain
+  (remap[idx] = idx + delta[seg]) found by a 9-step branchless binary
+  search over the sorted segment starts.
+
+Renorm bytes travel packed 4-per-int32 through the stream window; the
+per-step byte-count prefix sum runs on the MXU (ops/lanes.lane_prefix_sum),
+replacing the reference's movemask + shuffle-LUT routing
+(rans_word_sse41.h:182-227) which has no lane-count-generic analog.
+
+Stream format matches the oracle/native layout with one substream per block
+(docs/FORMAT.md): [4N head bytes: flushed states lane-ascending LE
+(rans_byte.h:93-105)] ++ [renorm bytes, (step asc, lane asc, within-lane
+most-significant-first)].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RansConfig, Variant
+from ..models import alias as alias_mod
+from ..models import stats as stats_mod
+from . import lanes
+
+L_BITS = 23  # rans_byte.h:50
+
+# ---------------------------------------------------------------------------
+# Table packing (host side)
+# ---------------------------------------------------------------------------
+
+
+def pack_byte_dec_tables(freqs, cum_freqs, sb: int):
+    """Two-level BYTE decode tables: cum2sym packed 4/int32 (M/512 rows) and
+    per-symbol (freq << 16) | cum rows (freq <= 2^14 at sb <= 14)."""
+    c2s = stats_mod.cum2sym(cum_freqs, sb).astype(np.uint32)
+    s4 = (c2s[0::4] | (c2s[1::4] << 8) | (c2s[2::4] << 16) | (c2s[3::4] << 24))
+    sym4_rows = s4.view(np.int32).reshape(-1, 128)
+    fc = (np.asarray(freqs, np.uint32) << 16) \
+        | np.asarray(cum_freqs[:256], np.uint32)
+    fc_rows = fc.view(np.int32).reshape(2, 128)
+    return sym4_rows, fc_rows
+
+
+def pack_alias_dec_tables(freqs, cum_freqs, sb: int):
+    """(divider (2,128), packed freq<<8|sym (4,128), adjust (4,128))."""
+    tab = alias_mod.make_alias_tables(freqs, cum_freqs, sb)
+    div, pa, adj = alias_mod.pack_alias_dec_tables(tab, sb)
+    return (div.view(np.int32).reshape(2, 128),
+            pa.view(np.int32).reshape(4, 128),
+            adj.view(np.int32).reshape(4, 128))
+
+
+def pack_enc_tables(freqs, cum_freqs) -> np.ndarray:
+    """Per-symbol ((freq-1) << 16) | cum as (2,128) int32 (freq-1 so the
+    ALIAS variant's freq <= 2^16 at prob_bits 16 still fits 16 bits)."""
+    f = np.maximum(np.asarray(freqs, np.uint32), 1) - 1
+    c = np.asarray(cum_freqs[:256], np.uint32)
+    return ((f << 16) | c).view(np.int32).reshape(2, 128)
+
+
+def build_alias_segments(freqs, cum_freqs, sb: int):
+    """alias_remap as <=512 constant-delta segments for the encoder.
+
+    remap is a bijection built per (bucket, half) in contiguous idx runs
+    (main_alias.cpp:207-232), so remap[idx] - idx is piecewise constant;
+    maximal runs give (sorted_starts, deltas).  Returns two (4,128) int32
+    tables padded with +inf starts.
+    """
+    tab = alias_mod.make_alias_tables(freqs, cum_freqs, sb)
+    M = 1 << sb
+    d = tab.alias_remap.astype(np.int64) - np.arange(M, dtype=np.int64)
+    change = np.nonzero(np.diff(d))[0] + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    deltas = d[starts]
+    if len(starts) > 512:
+        raise AssertionError("alias remap has more than 512 segments")
+    seg_start = np.full(512, 0x7FFFFFFF, np.int32)
+    seg_start[:len(starts)] = starts
+    seg_delta = np.zeros(512, np.int32)
+    seg_delta[:len(starts)] = deltas
+    return seg_start.reshape(4, 128), seg_delta.reshape(4, 128)
+
+
+def _supports(cfg: RansConfig):
+    if cfg.variant not in (Variant.BYTE, Variant.ALIAS):
+        raise ValueError("byte_tpu handles the BYTE and ALIAS variants")
+    if cfg.variant == Variant.BYTE and not 9 <= cfg.prob_bits <= 14:
+        raise ValueError("TPU byte kernel needs 9 <= prob_bits <= 14")
+    if cfg.variant == Variant.ALIAS and not 9 <= cfg.prob_bits <= 16:
+        raise ValueError("TPU alias kernel needs 9 <= prob_bits <= 16")
+    if cfg.n_lanes % 128 or cfg.n_lanes < 128:
+        raise ValueError("TPU byte kernel needs n_lanes a multiple of 128")
+    if cfg.lanes_per_stream != cfg.n_lanes:
+        raise ValueError("TPU byte kernel uses one substream per block")
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool):
+    """Decode one block: 4*T4 steps over (R,128) lanes, 8-bit renorm."""
+    if alias:
+        div_ref, pa_ref, adj_ref, x0_ref, stream4_ref, out_ref = refs
+        div = div_ref[:]
+        pa = pa_ref[:]
+        adj = adj_ref[:]
+    else:
+        sym4_ref, fc_ref, x0_ref, stream4_ref, out_ref = refs
+        sym4 = sym4_ref[:]
+        fc = fc_ref[:]
+        s4rows = (1 << sb) // 512
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+           ).astype(jnp.float32)
+    M1 = (1 << sb) - 1
+    WMAX = R // 2 + 2          # worst case: 2 bytes/lane -> R/2 rows (+spill)
+    WFAST = min(WMAX, max(2, R // 4))
+
+    def body(i4, carry):
+        x, base = carry
+        spk = jnp.zeros((R, 128), jnp.int32)
+        for k in range(4):
+            slot = x & M1
+            if alias:
+                # O(1) alias lookup (RansDecGetAlias, main_alias.cpp:252-267)
+                bucket = lanes.srl(slot, sb - 8)
+                dv = lanes.table_lookup(div, bucket, 2, (R, 128))
+                b2 = 2 * bucket + (slot < dv).astype(jnp.int32)
+                e = lanes.table_lookup(pa, b2, 4, (R, 128))
+                av = lanes.table_lookup(adj, b2, 4, (R, 128))
+                sym = e & 0xFF
+                freq = lanes.srl(e, 8)
+                x = freq * lanes.srl(x, sb) + slot - av
+            else:
+                # two-level cum2sym lookup + advance (rans_byte.h:125-149)
+                s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
+                                        (R, 128))
+                sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
+                e = lanes.table_lookup(fc, sym, 2, (R, 128))
+                freq = lanes.srl(e, 16)
+                x = freq * lanes.srl(x, sb) + slot - (e & 0xFFFF)
+            spk = spk | (sym << (8 * k))
+            # closed-form renorm count: k = (x < 2^23) + (x < 2^15)
+            # (bounded form of the loop at rans_byte.h:307-318)
+            m1 = lanes.ult(x, 1 << L_BITS)
+            m2 = lanes.ult(x, 1 << (L_BITS - 8))
+            kf = m1.astype(jnp.float32) + m2.astype(jnp.float32)
+            incl, total = lanes.lane_prefix_sum(kf, tri, R)
+            excl = incl - m1.astype(jnp.int32) - m2.astype(jnp.int32)
+            idx0 = base + excl        # first (most-significant) refill byte
+            idx1 = idx0 + 1
+            brow = jax.lax.shift_right_logical(base, 9)
+            rel0 = jax.lax.shift_right_logical(idx0, 9) - brow
+            rel1 = jax.lax.shift_right_logical(idx1, 9) - brow
+            col0 = jax.lax.shift_right_logical(idx0, 2) & 127
+            col1 = jax.lax.shift_right_logical(idx1, 2) & 127
+            win = stream4_ref[pl.ds(brow, WFAST), :]
+            v0 = lanes.window_select(win, rel0, col0, WFAST, (R, 128))
+            v1 = lanes.window_select(win, rel1, col1, WFAST, (R, 128))
+            if WMAX > WFAST:
+                need_rare = jax.lax.shift_right_logical(
+                    (base & 511) + total + 1 + 511, 9) > WFAST
+
+                def rare():
+                    wrest = stream4_ref[pl.ds(brow + WFAST, WMAX - WFAST), :]
+                    a0 = v0 | lanes.window_select(
+                        wrest, rel0 - WFAST, col0, WMAX - WFAST, (R, 128))
+                    a1 = v1 | lanes.window_select(
+                        wrest, rel1 - WFAST, col1, WMAX - WFAST, (R, 128))
+                    return a0, a1
+
+                v0, v1 = jax.lax.cond(need_rare, rare, lambda: (v0, v1))
+            b0 = lanes.srl(v0, (idx0 & 3) << 3) & 0xFF
+            b1 = lanes.srl(v1, (idx1 & 3) << 3) & 0xFF
+            x = jnp.where(m2, (x << 16) | (b0 << 8) | b1,
+                          jnp.where(m1, (x << 8) | b0, x))
+            base = base + total
+        out_ref[pl.ds(i4 * R, R), :] = spk
+        return (x, base)
+
+    jax.lax.fori_loop(0, T4, body, (x0_ref[:], jnp.int32(0)))
+
+
+@functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
+                                             "n_blocks", "alias", "interpret"))
+def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
+                  cap_rows: int, n_blocks: int, alias: bool,
+                  interpret: bool = False):
+    """Grid decode of n_blocks blocks.
+
+    tables: (sym4, fc) for BYTE or (div, pa, adj) for ALIAS; x0
+    (n_blocks*R, 128); stream4_rows (n_blocks*cap_rows, 128) renorm bytes
+    packed 4/int32.  Returns (n_blocks*T4*R, 128) int32 4-packed symbols.
+    """
+    if not interpret and R < 2:
+        raise ValueError("compiled TPU decode needs n_lanes >= 256")
+    tab_specs = [
+        pl.BlockSpec(t.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+        for t in tables
+    ]
+    return pl.pallas_call(
+        functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, alias=alias),
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
+        in_specs=tab_specs + [
+            pl.BlockSpec((R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap_rows, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*tables, x0, stream4_rows)
+
+
+# ---------------------------------------------------------------------------
+# Encode kernel
+# ---------------------------------------------------------------------------
+
+_SEG_STEPS = (256, 128, 64, 32, 16, 8, 4, 2, 1)
+
+
+def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool):
+    """Reverse-walk encode emitting one (k<<16 | fwd0<<8 | fwd1) cell per
+    (step, lane); <=2 renorm bytes per symbol (rans_byte.h:62-74)."""
+    if alias:
+        fc_ref, ss_ref, sd_ref, in_ref, emit_ref, xout_ref = refs
+        ss = ss_ref[:]
+        sd = sd_ref[:]
+    else:
+        fc_ref, in_ref, emit_ref, xout_ref = refs
+    fc = fc_ref[:]
+    SH = 31 - sb  # x_max = freq << (l_bits - sb + 8) = freq << (31 - sb)
+
+    def body(i4, x):
+        t4 = T4 - 1 - i4
+        spk = in_ref[pl.ds(t4 * R, R), :]
+        for k in (3, 2, 1, 0):
+            sym = lanes.srl(spk, 8 * k) & 0xFF
+            e = lanes.table_lookup(fc, sym, 2, (R, 128))
+            freq = lanes.srl(e, 16) + 1
+            start = e & 0xFFFF
+            thm1 = (freq << SH) - 1  # wraps for freq = M; ugt handles it
+            m1 = lanes.ugt(x, thm1)
+            ba = x & 0xFF
+            x = jnp.where(m1, lanes.srl(x, 8), x)
+            m2 = lanes.ugt(x, thm1)
+            bb = x & 0xFF
+            x = jnp.where(m2, lanes.srl(x, 8), x)
+            kc = m1.astype(jnp.int32) + m2.astype(jnp.int32)
+            fwd0 = jnp.where(m2, bb, ba)       # most-significant byte first
+            fwd1 = jnp.where(m2, ba, 0)
+            emit_ref[pl.ds((4 * t4 + k) * R, R), :] = \
+                (kc << 16) | (fwd0 << 8) | fwd1
+            q, r = lanes.exact_div(x, freq)
+            if alias:
+                # x = (x/f)<<sb + alias_remap[(x%f) + cum] via segment
+                # binary search (main_alias.cpp:241-250)
+                idx = r + start
+                lo = jnp.zeros((R, 128), jnp.int32)
+                for step in _SEG_STEPS:
+                    cand = lo + step
+                    sv = lanes.table_lookup(ss, cand, 4, (R, 128))
+                    lo = jnp.where(sv <= idx, cand, lo)
+                delta = lanes.table_lookup(sd, lo, 4, (R, 128))
+                x = (q << sb) + idx + delta
+            else:
+                x = (q << sb) + r + start
+        return x
+
+    x = jax.lax.fori_loop(0, T4, body,
+                          jnp.full((R, 128), 1 << L_BITS, jnp.int32))
+    xout_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "n_blocks",
+                                             "alias", "interpret"))
+def encode_blocks(tables, syms_packed, *, T4: int, R: int, sb: int,
+                  n_blocks: int, alias: bool, interpret: bool = False):
+    """Grid dense encode.  tables: (fc,) or (fc, seg_start, seg_delta).
+    Returns (emit cells (n_blocks*4*T4*R,128) i32, states (n_blocks*R,128))."""
+    if not interpret and R < 2:
+        raise ValueError("compiled TPU encode needs n_lanes >= 256")
+    tab_specs = [
+        pl.BlockSpec(t.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+        for t in tables
+    ]
+    return pl.pallas_call(
+        functools.partial(_encode_kernel, T4=T4, R=R, sb=sb, alias=alias),
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks * 4 * T4 * R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * R, 128), jnp.int32),
+        ),
+        in_specs=tab_specs + [
+            pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((4 * T4 * R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(*tables, syms_packed)
+
+
+# ---------------------------------------------------------------------------
+# XLA glue: compaction and head assembly (byte granularity)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cap_bytes", "n_blocks"))
+def compact_emissions(emit, x_final, cap_bytes: int, n_blocks: int = 1):
+    """Dense byte cells -> per-block byte buffers (as int32 values) + counts.
+
+    Head = flushed 32-bit states as 4 LE bytes lane-ascending
+    (RansEncFlush, rans_byte.h:93-105).
+    """
+    R = x_final.shape[0] // n_blocks
+    N = R * 128
+    emit = emit.reshape(n_blocks, -1)
+    k = lanes.srl(emit, 16)
+    b0 = lanes.srl(emit, 8) & 0xFF
+    b1 = emit & 0xFF
+    pos = jnp.cumsum(k, axis=1) - k
+    totals = jnp.sum(k, axis=1)
+    idx0 = jnp.where(k >= 1, pos, cap_bytes)
+    idx1 = jnp.where(k == 2, pos + 1, cap_bytes)
+    body = jnp.zeros((n_blocks, cap_bytes), jnp.int32)
+    body = jax.vmap(
+        lambda b, i0, v0, i1, v1: b.at[i0].set(v0, mode="drop")
+        .at[i1].set(v1, mode="drop"))(body, idx0, b0, idx1, b1)
+    xf = x_final.reshape(n_blocks, N)
+    head = jnp.stack([xf & 0xFF, lanes.srl(xf, 8) & 0xFF,
+                      lanes.srl(xf, 16) & 0xFF, lanes.srl(xf, 24) & 0xFF],
+                     axis=2).reshape(n_blocks, 4 * N)
+    return jnp.concatenate([head, body], axis=1), totals + 4 * N
+
+
+@functools.partial(jax.jit, static_argnames=("R", "cap_rows", "n_blocks"))
+def prep_decode(bytes_i32, R: int, cap_rows: int, n_blocks: int = 1):
+    """(n_blocks, head+body) byte values -> (x0, stream rows 4 bytes/int32)."""
+    N = R * 128
+    head = bytes_i32[:, :4 * N].reshape(n_blocks, N, 4)
+    x0 = (head[:, :, 0] | (head[:, :, 1] << 8) | (head[:, :, 2] << 16)
+          | (head[:, :, 3] << 24)).reshape(n_blocks * R, 128)
+    body = bytes_i32[:, 4 * N:]
+    pad = 4 * cap_rows * 128 - body.shape[1]
+    if pad < 0:
+        body = body[:, :4 * cap_rows * 128]
+    else:
+        body = jnp.concatenate(
+            [body, jnp.zeros((n_blocks, pad), jnp.int32)], axis=1)
+    body = body.reshape(n_blocks, cap_rows * 128, 4)
+    packed = (body[:, :, 0] | (body[:, :, 1] << 8) | (body[:, :, 2] << 16)
+              | (body[:, :, 3] << 24))
+    return x0, packed.reshape(n_blocks * cap_rows, 128)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _split_blocks(cfg: RansConfig, padded_size: int):
+    B = cfg.block_symbols
+    n_full = padded_size // B
+    return n_full, padded_size - n_full * B
+
+
+def dec_tables(cfg: RansConfig, freqs, cum_freqs):
+    if cfg.variant == Variant.ALIAS:
+        return tuple(jnp.asarray(t) for t in pack_alias_dec_tables(
+            freqs, cum_freqs, cfg.prob_bits))
+    return tuple(jnp.asarray(t) for t in pack_byte_dec_tables(
+        freqs, cum_freqs, cfg.prob_bits))
+
+
+def enc_tables(cfg: RansConfig, freqs, cum_freqs):
+    fc = jnp.asarray(pack_enc_tables(freqs, cum_freqs))
+    if cfg.variant == Variant.ALIAS:
+        ss, sd = build_alias_segments(freqs, cum_freqs, cfg.prob_bits)
+        return (fc, jnp.asarray(ss), jnp.asarray(sd))
+    return (fc,)
+
+
+def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
+           interpret: bool | None = None):
+    """Encode on TPU -> (list of per-block uint8 arrays, padded size)."""
+    _supports(cfg)
+    if interpret is None:
+        interpret = _default_interpret()
+    from . import word_tpu  # shared pad/pack helpers
+    R = cfg.n_lanes // 128
+    N = cfg.n_lanes
+    alias = cfg.variant == Variant.ALIAS
+    padded, _ = word_tpu.pad_block(np.asarray(data, np.uint8), N, freqs)
+    tables = enc_tables(cfg, freqs, cum_freqs)
+    n_full, tail = _split_blocks(cfg, padded.size)
+
+    out_blocks: list[np.ndarray] = []
+
+    def run(chunk: np.ndarray, n_blocks: int):
+        T = chunk.size // n_blocks // N
+        T4 = T // 4
+        spk = word_tpu.pack_symbols(jnp.asarray(chunk), T4, R, n_blocks)
+        emit, xf = encode_blocks(tables, spk, T4=T4, R=R, sb=cfg.prob_bits,
+                                 n_blocks=n_blocks, alias=alias,
+                                 interpret=interpret)
+        cap = 2 * T * N  # <=2 bytes per symbol
+        buf, n_bytes = compact_emissions(emit, xf, cap, n_blocks)
+        buf_np = np.asarray(buf)
+        for b in range(n_blocks):
+            nb = int(n_bytes[b])
+            out_blocks.append(buf_np[b, :nb].astype(np.uint8))
+
+    if n_full:
+        run(padded[:n_full * cfg.block_symbols], n_full)
+    if tail:
+        run(padded[n_full * cfg.block_symbols:], 1)
+    return out_blocks, padded.size
+
+
+def decode(cfg: RansConfig, byte_blocks: list[np.ndarray],
+           n_symbols_padded: int, freqs, cum_freqs,
+           interpret: bool | None = None) -> np.ndarray:
+    """Decode per-block byte buffers on TPU -> uint8 symbols (padded len)."""
+    _supports(cfg)
+    if interpret is None:
+        interpret = _default_interpret()
+    from . import word_tpu
+    R = cfg.n_lanes // 128
+    N = cfg.n_lanes
+    alias = cfg.variant == Variant.ALIAS
+    tables = dec_tables(cfg, freqs, cum_freqs)
+    n_full, tail = _split_blocks(cfg, n_symbols_padded)
+    assert len(byte_blocks) == n_full + (1 if tail else 0)
+
+    outs: list[np.ndarray] = []
+
+    def run(blocks: list[np.ndarray], n_symbols_block: int):
+        n_blocks = len(blocks)
+        T = n_symbols_block // N
+        T4 = T // 4
+        # capacity in 4-byte rows: body + N bytes of overread pad (Pallas
+        # analog of the reference's SIMD pad, main_simd.cpp:145-146)
+        max_bytes = max(b.size for b in blocks)
+        cap_rows = -(-(max_bytes - 4 * N + N + 512) // 512)
+        cap_rows = -(-cap_rows // 8) * 8
+        buf = np.zeros((n_blocks, max_bytes), np.int32)
+        for i, b in enumerate(blocks):
+            buf[i, :b.size] = b.astype(np.int32)
+        x0, stream4 = prep_decode(jnp.asarray(buf), R, cap_rows, n_blocks)
+        spk = decode_blocks(tables, x0, stream4, T4=T4, R=R,
+                            sb=cfg.prob_bits, cap_rows=cap_rows,
+                            n_blocks=n_blocks, alias=alias,
+                            interpret=interpret)
+        outs.append(np.asarray(word_tpu.unpack_symbols(spk, T4, R, n_blocks)))
+
+    if n_full:
+        run(byte_blocks[:n_full], cfg.block_symbols)
+    if tail:
+        run(byte_blocks[n_full:],
+            n_symbols_padded - n_full * cfg.block_symbols)
+    return np.concatenate(outs) if outs else np.zeros(0, np.uint8)

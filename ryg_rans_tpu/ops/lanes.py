@@ -46,6 +46,11 @@ def uge(a, b):
     return (a ^ I32_MIN) >= (b ^ I32_MIN)
 
 
+def ugt(a, b):
+    """Unsigned a > b, both int32 lanes with uint32 bit patterns."""
+    return (a ^ I32_MIN) > (b ^ I32_MIN)
+
+
 def srl(x, n):
     """Logical right shift on int32 lanes."""
     return jax.lax.shift_right_logical(x, jnp.int32(n) if isinstance(n, int) else n)
@@ -65,6 +70,22 @@ def table_lookup(table_rows, idx, rows: int, shape):
         tr = jnp.broadcast_to(table_rows[r:r + 1, :], shape)
         v = jnp.take_along_axis(tr, col, axis=1)
         out = jnp.where(row == r, v, out)
+    return out
+
+
+def window_select(window, rel, col, W: int, shape):
+    """Gather ``window[rel, col]`` per lane from a (>=W, 128) row window.
+
+    The TPU replacement for the reference's shuffle-LUT stream routing
+    (rans_word_sse41.h:184-203): sweep W broadcast rows, lane-gather each at
+    ``col``, and keep the row matching ``rel``.  Lanes with rel outside
+    [0, W) get 0.
+    """
+    out = jnp.zeros(shape, jnp.int32)
+    for r in range(W):
+        wr = jnp.broadcast_to(window[r:r + 1, :], shape)
+        v = jnp.take_along_axis(wr, col, axis=1)
+        out = jnp.where(rel == r, v, out)
     return out
 
 

@@ -41,7 +41,14 @@ DATA_AXIS = "data"
 
 def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
     devices = jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        # Default backend too small (e.g. one real chip): fall back to the
+        # virtual CPU device set (xla_force_host_platform_device_count).
+        devices = jax.devices("cpu")
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

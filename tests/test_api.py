@@ -90,3 +90,19 @@ def test_compression_ratio_book1_native(book1):
     blob = api.compress(book1.tobytes(), cfg, backend="native")
     assert api.decompress(blob, backend="native") == book1.tobytes()
     assert len(blob) < 435626 + 1600 + int(0.002 * 435626)
+
+
+@pytest.mark.parametrize("variant", [Variant.WORD, Variant.BYTE,
+                                     Variant.ALIAS])
+def test_tpu_backend_container_matches_numpy(book1_head, variant):
+    """The TPU kernel path (interpret mode here) must produce the exact
+    container the numpy oracle produces, and cross-decode."""
+    from ryg_rans_tpu.config import DEFAULT_PROB_BITS
+    cfg = RansConfig(variant=variant, prob_bits=DEFAULT_PROB_BITS[variant],
+                     n_lanes=128, lanes_per_stream=128, block_symbols=4096)
+    data = book1_head[:10000].tobytes()
+    blob_np = api.compress(data, cfg, backend="numpy")
+    blob_tpu = api.compress(data, cfg, backend="tpu")
+    assert blob_np == blob_tpu
+    assert api.decompress(blob_tpu, backend="tpu") == data
+    assert api.decompress(blob_np, backend="tpu") == data

@@ -1,0 +1,105 @@
+"""TPU BYTE/ALIAS-variant kernel tests (Pallas interpret mode on CPU; the
+same code path compiles on real TPU)."""
+
+import numpy as np
+import pytest
+
+from ryg_rans_tpu.config import RansConfig, Variant
+from ryg_rans_tpu.models import alias as alias_mod
+from ryg_rans_tpu.models import stats
+from ryg_rans_tpu.ops import byte_tpu
+from ryg_rans_tpu.ops import reference_numpy as oracle
+
+
+def _cfg(variant, n_lanes=128, block_symbols=1 << 13):
+    from ryg_rans_tpu.config import DEFAULT_PROB_BITS
+    return RansConfig(variant=variant, prob_bits=DEFAULT_PROB_BITS[variant],
+                      n_lanes=n_lanes, lanes_per_stream=n_lanes,
+                      block_symbols=block_symbols)
+
+
+@pytest.mark.parametrize("variant", [Variant.BYTE, Variant.ALIAS])
+@pytest.mark.parametrize("size", [2048, 9000])
+def test_tpu_encode_matches_oracle(book1_head, variant, size):
+    cfg = _cfg(variant)
+    data = book1_head[:size]
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+    from ryg_rans_tpu.ops import word_tpu
+    padded, _ = word_tpu.pad_block(data, cfg.n_lanes, freqs)
+
+    blocks, padded_size = byte_tpu.encode(cfg, data, freqs, cum,
+                                          interpret=True)
+    assert padded_size == padded.size
+
+    B = cfg.block_symbols
+    off = 0
+    for blk in blocks:
+        chunk = padded[off:off + B]
+        ref = oracle.encode(cfg, chunk, freqs, cum)[0]
+        assert blk.size == ref.size
+        assert np.array_equal(blk, ref)
+        off += chunk.size
+
+
+@pytest.mark.parametrize("variant", [Variant.BYTE, Variant.ALIAS])
+@pytest.mark.parametrize("size", [2048, 9000, 20000])
+def test_tpu_decode_roundtrip(book1_head, variant, size):
+    cfg = _cfg(variant)
+    data = book1_head[:size]
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+    blocks, padded_size = byte_tpu.encode(cfg, data, freqs, cum,
+                                          interpret=True)
+    dec = byte_tpu.decode(cfg, blocks, padded_size, freqs, cum,
+                          interpret=True)
+    assert np.array_equal(dec[:size], data)
+
+
+@pytest.mark.parametrize("variant", [Variant.BYTE, Variant.ALIAS])
+def test_tpu_decodes_oracle_stream(book1_head, variant):
+    cfg = _cfg(variant)
+    data = book1_head[:4096]
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+    from ryg_rans_tpu.ops import word_tpu
+    padded, orig = word_tpu.pad_block(data, cfg.n_lanes, freqs)
+    streams = oracle.encode(cfg, padded, freqs, cum)
+    dec = byte_tpu.decode(cfg, [streams[0]], padded.size, freqs, cum,
+                          interpret=True)
+    assert np.array_equal(dec[:orig], data)
+
+
+def test_alias_segments_reproduce_remap(book1_head):
+    """The segment decomposition must reproduce alias_remap exactly."""
+    sb = 16
+    freqs, cum = stats.build_model(book1_head, sb)
+    tab = alias_mod.make_alias_tables(freqs, cum, sb)
+    ss, sd = byte_tpu.build_alias_segments(freqs, cum, sb)
+    starts = ss.reshape(-1).astype(np.int64)
+    deltas = sd.reshape(-1).astype(np.int64)
+    M = 1 << sb
+    idx = np.arange(M, dtype=np.int64)
+    seg = np.searchsorted(starts, idx, side="right") - 1
+    got = idx + deltas[seg]
+    assert np.array_equal(got, tab.alias_remap.astype(np.int64))
+
+
+def test_byte_renorm_worst_case(rng):
+    """A skewed model exercising the 2-bytes-per-symbol renorm path: rare
+    symbols (freq 1 at prob_bits 14) force maximal emission."""
+    cfg = RansConfig(variant=Variant.BYTE, prob_bits=14, n_lanes=128,
+                     lanes_per_stream=128, block_symbols=4096)
+    # heavily skewed: mostly symbol 0, occasional rare bytes
+    data = np.zeros(8192, np.uint8)
+    ridx = rng.integers(0, data.size, 300)
+    data[ridx] = rng.integers(1, 256, 300).astype(np.uint8)
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+    blocks, padded_size = byte_tpu.encode(cfg, data, freqs, cum,
+                                          interpret=True)
+    ref = oracle.encode(cfg, data, freqs, cum)[0]
+    got = np.concatenate(blocks) if len(blocks) == 1 else None
+    # block-split sizes differ from single-stream oracle only when multiple
+    # blocks; here block_symbols=4096 and padded 8192 -> 2 blocks, so just
+    # round-trip instead of byte-compare
+    dec = byte_tpu.decode(cfg, blocks, padded_size, freqs, cum,
+                          interpret=True)
+    assert np.array_equal(dec[:data.size], data)
+    assert got is None or np.array_equal(got, ref)
