@@ -1,0 +1,413 @@
+"""TPU kernels for the RANS64 variant (64-bit state, 32-bit-word renorm).
+
+TPU-native re-design of the reference's rans64 coder (rans64.h): the 63-bit
+state (rans64.h:55-59) has no VPU dtype, so each lane carries it as an
+(hi, lo) int32 pair and the three 64-bit operations in the hot loop are
+decomposed into exact 16-bit-limb arithmetic:
+
+* decode advance ``x = freq * (x >> sb) + slot - cum`` (rans64.h:126-142):
+  freq <= 2^15 fits one limb, so the 16x64 product is three 16x16->32
+  multiplies plus carries -- every intermediate provably < 2^31;
+* encode division ``q = x / freq`` (rans64.h:77-93, slow path): schoolbook
+  long division over four 16-bit limbs, each step one fp32-reciprocal
+  exact_div (ops/lanes.exact_div) -- the VPU-native stand-in for the
+  reference's 128-bit Alverson reciprocals (rans64.h:167-247);
+* renorm moves whole 32-bit words and never iterates (rans64.h:81-89,
+  134-139): ``x < 2^31  <=>  hi == 0 and lo's sign bit clear``, a single
+  masked shift of the pair.
+
+Renorm words travel as raw int32 lanes through the stream window (no
+sub-word packing needed at 32-bit granularity).  Stream format matches the
+oracle/native layout with one substream per block (docs/FORMAT.md): head =
+flushed states as 2 LE u32 words per lane, lane-ascending
+(Rans64EncFlush, rans64.h:96-103), then renorm words (step asc, lane asc).
+
+The TPU path supports prob_bits <= 15 (one-limb frequencies); the native
+and numpy backends cover the full 31-bit precision of the reference
+(rans64.h:169).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RansConfig, Variant
+from ..models import stats as stats_mod
+from . import lanes
+
+L_BITS = 31  # rans64.h:59
+
+
+def pack_dec_tables(freqs, cum_freqs, sb: int):
+    """Two-level decode tables: cum2sym packed 4/int32 + (freq<<16|cum)."""
+    c2s = stats_mod.cum2sym(cum_freqs, sb).astype(np.uint32)
+    s4 = (c2s[0::4] | (c2s[1::4] << 8) | (c2s[2::4] << 16) | (c2s[3::4] << 24))
+    sym4_rows = s4.view(np.int32).reshape(-1, 128)
+    fc = (np.asarray(freqs, np.uint32) << 16) \
+        | np.asarray(cum_freqs[:256], np.uint32)
+    fc_rows = fc.view(np.int32).reshape(2, 128)
+    return sym4_rows, fc_rows
+
+
+def pack_enc_tables(freqs, cum_freqs) -> np.ndarray:
+    """Per-symbol ((freq-1) << 16) | cum as (2,128) int32."""
+    f = np.maximum(np.asarray(freqs, np.uint32), 1) - 1
+    c = np.asarray(cum_freqs[:256], np.uint32)
+    return ((f << 16) | c).view(np.int32).reshape(2, 128)
+
+
+def _supports(cfg: RansConfig):
+    if cfg.variant != Variant.RANS64:
+        raise ValueError("rans64_tpu handles the RANS64 variant")
+    if not 9 <= cfg.prob_bits <= 15:
+        raise ValueError("TPU rans64 kernel needs 9 <= prob_bits <= 15 "
+                         "(one-limb frequencies); use native/numpy beyond")
+    if cfg.n_lanes % 128 or cfg.n_lanes < 128:
+        raise ValueError("TPU rans64 kernel needs n_lanes a multiple of 128")
+    if cfg.lanes_per_stream != cfg.n_lanes:
+        raise ValueError("TPU rans64 kernel uses one substream per block")
+
+
+def _mul_u16_u64(freq, hi, lo):
+    """(freq * (hi,lo)) mod 2^64 for freq < 2^16, exact 16-bit limbs.
+
+    Caller guarantees the true product < 2^63 (rANS invariant), so every
+    partial term stays < 2^31 in int32.
+    """
+    t0 = freq * (lo & 0xFFFF)
+    t1 = freq * lanes.srl(lo, 16)
+    t2 = freq * hi
+    mid = lanes.srl(t0, 16) + (t1 & 0xFFFF)
+    new_lo = (t0 & 0xFFFF) | ((mid & 0xFFFF) << 16)
+    new_hi = lanes.srl(t1, 16) + lanes.srl(mid, 16) + t2
+    return new_hi, new_lo
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(sym4_ref, fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref,
+                   *, T4: int, R: int, sb: int):
+    sym4 = sym4_ref[:]
+    fc = fc_ref[:]
+    s4rows = (1 << sb) // 512
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+           ).astype(jnp.float32)
+    M1 = (1 << sb) - 1
+    WMAX = R + 1               # worst case: 1 word/lane -> R window rows
+    WFAST = min(WMAX, max(2, R // 4))
+
+    def body(i4, carry):
+        hi, lo, base = carry
+        spk = jnp.zeros((R, 128), jnp.int32)
+        for k in range(4):
+            slot = lo & M1
+            s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
+                                    (R, 128))
+            sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
+            e = lanes.table_lookup(fc, sym, 2, (R, 128))
+            freq = lanes.srl(e, 16)
+            cumv = e & 0xFFFF
+            # advance: x = freq * (x >> sb) + slot - cum  (rans64.h:126-133)
+            y_lo = lanes.srl(lo, sb) | (hi << (32 - sb))
+            y_hi = lanes.srl(hi, sb)
+            hi, lo = _mul_u16_u64(freq, y_hi, y_lo)
+            d = slot - cumv
+            s = lo + d
+            hi = hi + jnp.where((d > 0) & lanes.ugt(lo, s), 1, 0) \
+                - jnp.where((d < 0) & lanes.ugt(s, lo), 1, 0)
+            lo = s
+            spk = spk | (sym << (8 * k))
+            # renorm: <=1 whole word (rans64.h:134-139)
+            m = (hi == 0) & (lo >= 0)          # x < 2^31
+            mf = m.astype(jnp.float32)
+            incl, total = lanes.lane_prefix_sum(mf, tri, R)
+            gidx = base + jnp.where(m, incl - 1, 0)
+            brow = jax.lax.shift_right_logical(base, 7)
+            rel = jax.lax.shift_right_logical(gidx, 7) - brow
+            col = gidx & 127
+            win = stream_ref[pl.ds(brow, WFAST), :]
+            wv = lanes.window_select(win, rel, col, WFAST, (R, 128))
+            if WMAX > WFAST:
+                need_rare = jax.lax.shift_right_logical(
+                    (base & 127) + total + 127, 7) > WFAST
+
+                def rare():
+                    wrest = stream_ref[pl.ds(brow + WFAST, WMAX - WFAST), :]
+                    return wv | lanes.window_select(
+                        wrest, rel - WFAST, col, WMAX - WFAST, (R, 128))
+
+                wv = jax.lax.cond(need_rare, rare, lambda: wv)
+            hi = jnp.where(m, lo, hi)
+            lo = jnp.where(m, wv, lo)
+            base = base + total
+        out_ref[pl.ds(i4 * R, R), :] = spk
+        return (hi, lo, base)
+
+    jax.lax.fori_loop(0, T4, body,
+                      (x0hi_ref[:], x0lo_ref[:], jnp.int32(0)))
+
+
+@functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
+                                             "n_blocks", "interpret"))
+def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
+                  R: int, sb: int, cap_rows: int, n_blocks: int,
+                  interpret: bool = False):
+    """Grid decode.  stream_rows: (n_blocks*cap_rows, 128) raw u32 words."""
+    if not interpret and R < 2:
+        raise ValueError("compiled TPU decode needs n_lanes >= 256")
+    s4rows = (1 << sb) // 512
+    return pl.pallas_call(
+        functools.partial(_decode_kernel, T4=T4, R=R, sb=sb),
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((s4rows, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap_rows, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows)
+
+
+# ---------------------------------------------------------------------------
+# Encode kernel
+# ---------------------------------------------------------------------------
+
+
+def _encode_kernel(fc_ref, in_ref, emitw_ref, emitv_ref, xlo_ref, xhi_ref,
+                   *, T4: int, R: int, sb: int):
+    fc = fc_ref[:]
+    SH = 31 - sb  # x_max hi word = freq << (31 - sb)  (rans64.h:83)
+
+    def body(i4, carry):
+        hi, lo = carry
+        t4 = T4 - 1 - i4
+        spk = in_ref[pl.ds(t4 * R, R), :]
+        for k in (3, 2, 1, 0):
+            sym = lanes.srl(spk, 8 * k) & 0xFF
+            e = lanes.table_lookup(fc, sym, 2, (R, 128))
+            freq = lanes.srl(e, 16) + 1
+            start = e & 0xFFFF
+            # renorm: x >= freq << (63-sb)  <=>  hi >= freq << (31-sb)
+            m = lanes.uge(hi, freq << SH)
+            emitw_ref[pl.ds((4 * t4 + k) * R, R), :] = jnp.where(m, lo, 0)
+            emitv_ref[pl.ds((4 * t4 + k) * R, R), :] = m.astype(jnp.int32)
+            lo = jnp.where(m, hi, lo)
+            hi = jnp.where(m, 0, hi)
+            # x = (x/f) << sb + (x%f) + start: 64/16 schoolbook division
+            rem = jnp.zeros((R, 128), jnp.int32)
+            qs = []
+            for limb in (lanes.srl(hi, 16), hi & 0xFFFF,
+                         lanes.srl(lo, 16), lo & 0xFFFF):
+                cur = (rem << 16) | limb
+                qi, rem = lanes.exact_div(cur, freq)
+                qs.append(qi)
+            q_hi = (qs[0] << 16) | qs[1]
+            q_lo = (qs[2] << 16) | qs[3]
+            new_lo = q_lo << sb
+            new_hi = (q_hi << sb) | lanes.srl(q_lo, 32 - sb)
+            a = rem + start
+            s = new_lo + a
+            new_hi = new_hi + jnp.where(lanes.ugt(new_lo, s), 1, 0)
+            hi, lo = new_hi, s
+        return hi, lo
+
+    hi, lo = jax.lax.fori_loop(
+        0, T4, body, (jnp.zeros((R, 128), jnp.int32),
+                      jnp.full((R, 128), lanes.I32_MIN, jnp.int32)))  # x = L
+    xlo_ref[:] = lo
+    xhi_ref[:] = hi
+
+
+@functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "n_blocks",
+                                             "interpret"))
+def encode_blocks(fc_rows, syms_packed, *, T4: int, R: int, sb: int,
+                  n_blocks: int, interpret: bool = False):
+    """Returns (emit words, emit valid, state lo, state hi)."""
+    if not interpret and R < 2:
+        raise ValueError("compiled TPU encode needs n_lanes >= 256")
+    return pl.pallas_call(
+        functools.partial(_encode_kernel, T4=T4, R=R, sb=sb),
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks * 4 * T4 * R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * 4 * T4 * R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * R, 128), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((2, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((4 * T4 * R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * T4 * R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(fc_rows, syms_packed)
+
+
+# ---------------------------------------------------------------------------
+# XLA glue
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cap_words", "n_blocks"))
+def compact_emissions(emit_w, emit_v, x_lo, x_hi, cap_words: int,
+                      n_blocks: int = 1):
+    """Dense (word, valid) cells -> per-block u32 word buffers + counts.
+
+    Head = flushed states as 2 LE u32 words per lane, lane-ascending
+    (Rans64EncFlush, rans64.h:96-103).
+    """
+    R = x_lo.shape[0] // n_blocks
+    N = R * 128
+    w = emit_w.reshape(n_blocks, -1)
+    v = emit_v.reshape(n_blocks, -1)
+    pos = jnp.cumsum(v, axis=1) - v
+    totals = jnp.sum(v, axis=1)
+    idx = jnp.where(v == 1, pos, cap_words)
+    body = jnp.zeros((n_blocks, cap_words), jnp.int32)
+    body = jax.vmap(lambda b, i, ww: b.at[i].set(ww, mode="drop"))(
+        body, idx, w)
+    lo = x_lo.reshape(n_blocks, N)
+    hi = x_hi.reshape(n_blocks, N)
+    head = jnp.stack([lo, hi], axis=2).reshape(n_blocks, 2 * N)
+    return jnp.concatenate([head, body], axis=1), totals + 2 * N
+
+
+@functools.partial(jax.jit, static_argnames=("R", "cap_rows", "n_blocks"))
+def prep_decode(words_i32, R: int, cap_rows: int, n_blocks: int = 1):
+    """(n_blocks, head+body) u32 words -> (x0_lo, x0_hi, stream rows)."""
+    N = R * 128
+    head = words_i32[:, :2 * N].reshape(n_blocks, N, 2)
+    x0_lo = head[:, :, 0].reshape(n_blocks * R, 128)
+    x0_hi = head[:, :, 1].reshape(n_blocks * R, 128)
+    body = words_i32[:, 2 * N:]
+    pad = cap_rows * 128 - body.shape[1]
+    if pad < 0:
+        body = body[:, :cap_rows * 128]
+    else:
+        body = jnp.concatenate(
+            [body, jnp.zeros((n_blocks, pad), jnp.int32)], axis=1)
+    return x0_lo, x0_hi, body.reshape(n_blocks * cap_rows, 128)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _split_blocks(cfg: RansConfig, padded_size: int):
+    B = cfg.block_symbols
+    n_full = padded_size // B
+    return n_full, padded_size - n_full * B
+
+
+def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
+           interpret: bool | None = None):
+    """Encode on TPU -> (list of per-block uint32 word arrays, padded size)."""
+    _supports(cfg)
+    if interpret is None:
+        interpret = _default_interpret()
+    from . import word_tpu
+    R = cfg.n_lanes // 128
+    N = cfg.n_lanes
+    padded, _ = word_tpu.pad_block(np.asarray(data, np.uint8), N, freqs)
+    fc_rows = jnp.asarray(pack_enc_tables(freqs, cum_freqs))
+    n_full, tail = _split_blocks(cfg, padded.size)
+
+    out_blocks: list[np.ndarray] = []
+
+    def run(chunk: np.ndarray, n_blocks: int):
+        T = chunk.size // n_blocks // N
+        T4 = T // 4
+        spk = word_tpu.pack_symbols(jnp.asarray(chunk), T4, R, n_blocks)
+        ew, ev, xlo, xhi = encode_blocks(fc_rows, spk, T4=T4, R=R,
+                                         sb=cfg.prob_bits, n_blocks=n_blocks,
+                                         interpret=interpret)
+        cap = T * N  # <=1 word per symbol
+        buf, n_words = compact_emissions(ew, ev, xlo, xhi, cap, n_blocks)
+        buf_np = np.asarray(buf).view(np.uint32)
+        for b in range(n_blocks):
+            nb = int(n_words[b])
+            out_blocks.append(buf_np[b, :nb].copy())
+
+    if n_full:
+        run(padded[:n_full * cfg.block_symbols], n_full)
+    if tail:
+        run(padded[n_full * cfg.block_symbols:], 1)
+    return out_blocks, padded.size
+
+
+def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
+           n_symbols_padded: int, freqs, cum_freqs,
+           interpret: bool | None = None) -> np.ndarray:
+    """Decode per-block u32 word buffers on TPU -> uint8 symbols."""
+    _supports(cfg)
+    if interpret is None:
+        interpret = _default_interpret()
+    from . import word_tpu
+    R = cfg.n_lanes // 128
+    N = cfg.n_lanes
+    s4, fc = pack_dec_tables(freqs, cum_freqs, cfg.prob_bits)
+    sym4_rows, fc_rows = jnp.asarray(s4), jnp.asarray(fc)
+    n_full, tail = _split_blocks(cfg, n_symbols_padded)
+    assert len(word_blocks) == n_full + (1 if tail else 0)
+
+    outs: list[np.ndarray] = []
+
+    def run(blocks: list[np.ndarray], n_symbols_block: int):
+        n_blocks = len(blocks)
+        T = n_symbols_block // N
+        T4 = T // 4
+        max_words = max(b.size for b in blocks)
+        cap_rows = -(-(max_words - 2 * N + N + 128) // 128)
+        cap_rows = -(-cap_rows // 8) * 8
+        buf = np.zeros((n_blocks, max_words), np.uint32)
+        for i, b in enumerate(blocks):
+            buf[i, :b.size] = b
+        x0_lo, x0_hi, stream = prep_decode(
+            jnp.asarray(buf.view(np.int32)), R, cap_rows, n_blocks)
+        spk = decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream,
+                            T4=T4, R=R, sb=cfg.prob_bits, cap_rows=cap_rows,
+                            n_blocks=n_blocks, interpret=interpret)
+        outs.append(np.asarray(word_tpu.unpack_symbols(spk, T4, R, n_blocks)))
+
+    if n_full:
+        run(word_blocks[:n_full], cfg.block_symbols)
+    if tail:
+        run(word_blocks[n_full:],
+            n_symbols_padded - n_full * cfg.block_symbols)
+    return np.concatenate(outs) if outs else np.zeros(0, np.uint8)

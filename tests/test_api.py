@@ -92,8 +92,7 @@ def test_compression_ratio_book1_native(book1):
     assert len(blob) < 435626 + 1600 + int(0.002 * 435626)
 
 
-@pytest.mark.parametrize("variant", [Variant.WORD, Variant.BYTE,
-                                     Variant.ALIAS])
+@pytest.mark.parametrize("variant", VARIANTS)
 def test_tpu_backend_container_matches_numpy(book1_head, variant):
     """The TPU kernel path (interpret mode here) must produce the exact
     container the numpy oracle produces, and cross-decode."""
