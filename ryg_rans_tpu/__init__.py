@@ -17,4 +17,17 @@ from .config import (  # noqa: F401
     LANES_PER_STREAM,
 )
 
+
+def compress(data, cfg=None, backend="auto") -> bytes:
+    """Compress bytes/uint8 array -> TRNS container (see api.compress)."""
+    from . import api
+    return api.compress(data, cfg, backend)
+
+
+def decompress(blob, backend="auto") -> bytes:
+    """Decompress a TRNS container -> original bytes (see api.decompress)."""
+    from . import api
+    return api.decompress(blob, backend)
+
+
 __version__ = "0.1.0"
