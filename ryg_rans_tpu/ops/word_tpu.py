@@ -103,7 +103,8 @@ def _supports(cfg: RansConfig):
 
 
 def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
-                   T4: int, R: int, sb: int):
+                   T4: int, R: int, sb: int, groups: int = 1,
+                   wfast: int = 0):
     """Decode one block: 4*T4 steps over (R,128) lanes.
 
     Gather-count-optimized (see docs/DESIGN.md):
@@ -124,64 +125,61 @@ def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
     WMAX = (R + 1) // 2 + 1   # worst-case pair-rows a step can touch
     # Fast-path span: covers ~2x the typical consumption (~0.28 words/lane
     # at entropy ~4.5 bits/byte); tuned on v5e (docs/DESIGN.md).
-    WFAST = min(WMAX, max(2, R // 4))
+    WFAST = min(WMAX, wfast if wfast else max(2, R // 4))
 
-    def body(i4, carry):
+    def substep(x, base, spk, k):
+        slot = x & M1
+        # two-level symbol lookup
+        s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows, (R, 128))
+        sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
+        e = lanes.table_lookup(fc, sym, 2, (R, 128))
+        freq = lanes.srl(e, 16)
+        cumv = e & 0xFFFF
+        spk = spk | (sym << (8 * k))
+        # advance: x = freq*(x>>sb) + (slot - cum)  (rans_word_sse41.h:126)
+        x = freq * lanes.srl(x, sb) + slot - cumv
+        # renorm (<=1 word, rans_word_sse41.h:31-34)
+        m = lanes.ult(x, 1 << 16)
+        incl, total = lanes.lane_prefix_sum(m.astype(jnp.float32), tri, R)
+        gidx = base + jnp.where(m, incl - 1, 0)
+        brow = jax.lax.shift_right_logical(base, 8)
+        rel = jax.lax.shift_right_logical(gidx, 8) - brow
+        col = jax.lax.shift_right_logical(gidx, 1) & 127
+        half = (gidx & 1) << 4
+        win = stream2_ref[pl.ds(brow, WFAST), :]
+        wv = lanes.window_select(win, rel, col, WFAST, (R, 128))
+        if WMAX > WFAST:
+            need_rare = jax.lax.shift_right_logical(
+                (base & 255) + total + 255, 8) > WFAST
+
+            def rare():
+                wrest = stream2_ref[pl.ds(brow + WFAST, WMAX - WFAST), :]
+                return wv | lanes.window_select(
+                    wrest, rel - WFAST, col, WMAX - WFAST, (R, 128))
+
+            wv = jax.lax.cond(need_rare, rare, lambda: wv)
+        word = lanes.srl(wv, half) & 0xFFFF
+        x = jnp.where(m, (x << 16) | word, x)
+        return x, base + total, spk
+
+    def body(i, carry):
         x, base = carry
-        spk = jnp.zeros((R, 128), jnp.int32)
-        for k in range(4):
-            slot = x & M1
-            # two-level symbol lookup
-            s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows, (R, 128))
-            sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
-            e = lanes.table_lookup(fc, sym, 2, (R, 128))
-            freq = lanes.srl(e, 16)
-            cumv = e & 0xFFFF
-            spk = spk | (sym << (8 * k))
-            # advance: x = freq*(x>>sb) + (slot - cum)  (rans_word_sse41.h:126)
-            x = freq * lanes.srl(x, sb) + slot - cumv
-            # renorm (<=1 word, rans_word_sse41.h:31-34)
-            m = lanes.ult(x, 1 << 16)
-            incl, total = lanes.lane_prefix_sum(m.astype(jnp.float32), tri, R)
-            gidx = base + jnp.where(m, incl - 1, 0)
-            brow = jax.lax.shift_right_logical(base, 8)
-            rel = jax.lax.shift_right_logical(gidx, 8) - brow
-            col = jax.lax.shift_right_logical(gidx, 1) & 127
-            half = (gidx & 1) << 4
-            wfast = stream2_ref[pl.ds(brow, WFAST), :]
-            wv = jnp.zeros((R, 128), jnp.int32)
-            for r in range(WFAST):
-                wr = jnp.broadcast_to(wfast[r:r + 1, :], (R, 128))
-                v = jnp.take_along_axis(wr, col, axis=1)
-                wv = jnp.where(rel == r, v, wv)
-            if WMAX > WFAST:
-                need_rare = jax.lax.shift_right_logical(
-                    (base & 255) + total + 255, 8) > WFAST
-
-                def rare():
-                    wrest = stream2_ref[pl.ds(brow + WFAST, WMAX - WFAST), :]
-                    acc = wv
-                    for r in range(WMAX - WFAST):
-                        wr = jnp.broadcast_to(wrest[r:r + 1, :], (R, 128))
-                        v = jnp.take_along_axis(wr, col, axis=1)
-                        acc = jnp.where(rel == WFAST + r, v, acc)
-                    return acc
-
-                wv = jax.lax.cond(need_rare, rare, lambda: wv)
-            word = lanes.srl(wv, half) & 0xFFFF
-            x = jnp.where(m, (x << 16) | word, x)
-            base = base + total
-        out_ref[pl.ds(i4 * R, R), :] = spk
+        for g in range(groups):
+            spk = jnp.zeros((R, 128), jnp.int32)
+            for k in range(4):
+                x, base, spk = substep(x, base, spk, k)
+            out_ref[pl.ds((i * groups + g) * R, R), :] = spk
         return (x, base)
 
-    jax.lax.fori_loop(0, T4, body, (x0_ref[:], jnp.int32(0)))
+    jax.lax.fori_loop(0, T4 // groups, body, (x0_ref[:], jnp.int32(0)))
 
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
-                                             "n_blocks", "interpret"))
+                                             "n_blocks", "interpret",
+                                             "groups", "wfast"))
 def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
                   sb: int, cap_rows: int, n_blocks: int,
-                  interpret: bool = False):
+                  interpret: bool = False, groups: int = 1, wfast: int = 0):
     """Grid decode of ``n_blocks`` blocks.
 
     x0: (n_blocks*R, 128); stream2_rows: (n_blocks*cap_rows, 128) with renorm
@@ -191,9 +189,12 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
     if not interpret and R < 2:
         raise ValueError("compiled TPU decode needs n_lanes >= 256 "
                          "(Mosaic lane-gathers reject single-sublane shapes)")
+    if T4 % groups:
+        raise ValueError(f"T4={T4} not divisible by groups={groups}")
     s4rows = (1 << sb) // 512
     return pl.pallas_call(
-        functools.partial(_decode_kernel, T4=T4, R=R, sb=sb),
+        functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, groups=groups,
+                          wfast=wfast),
         grid=(n_blocks,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=[
