@@ -54,7 +54,9 @@ def main():
 
     import functools
 
-    R, NB, BS = 32, 32, 1 << 19
+    # R=64 (8192 lanes) measured fastest on v5e (benchmarks/tune_word_decode
+    # sweeps: 7.0 GB/s vs 5.1 at R=32, VMEM overflow at R=256).
+    R, NB, BS = 64, 32, 1 << 19
     N = R * 128
     SYMS = NB * BS
     cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=N,

@@ -32,6 +32,14 @@
 #include "rans64.h"
 #include "rans_word_sse41.h"
 
+// The alias machinery (SymbolStats + make_alias_table + RansEncPutAlias)
+// lives only inside the demo main_alias.cpp, not a header; include the
+// UNMODIFIED demo with its main() renamed so its encoder drives the golden
+// dump too (file stays read-only in /root/reference, never copied).
+#define main alias_demo_main_unused
+#include "main_alias.cpp"
+#undef main
+
 // -- order-0 model with the demos' exact integer semantics
 // (main.cpp:49-129; re-stated here, not copied: histogram, truncating
 // rescale, steal-from-smallest fixup)
@@ -161,6 +169,30 @@ int main(int argc, char** argv) {
     }
     for (int l = lanes; l > 0; l--) RansWordEncFlush(&r[l - 1], &ptr);
     write_payload(argv[4], (uint8_t*)ptr, (uint8_t*)end - (uint8_t*)ptr);
+  } else if (variant == "alias") {
+    const uint32_t prob_bits = 16;  // main_alias.cpp:276
+    SymbolStats stats;
+    stats.count_freqs(in.data(), in_size);
+    stats.normalize_freqs(1u << prob_bits);
+    stats.make_alias_table();
+    uint8_t* ptr = out.data() + out.size();
+    if (lanes == 1) {  // main_alias.cpp:289-297
+      RansState r; RansEncInit(&r);
+      for (size_t i = in_size; i > 0; i--)
+        RansEncPutAlias(&r, &ptr, &stats, in[i - 1], prob_bits);
+      RansEncFlush(&r, &ptr);
+    } else {           // main_alias.cpp:348-365 (2-way interleave)
+      RansState r0, r1; RansEncInit(&r0); RansEncInit(&r1);
+      if (in_size & 1)
+        RansEncPutAlias(&r0, &ptr, &stats, in[in_size - 1], prob_bits);
+      for (size_t i = (in_size & ~(size_t)1); i > 0; i -= 2) {
+        RansEncPutAlias(&r1, &ptr, &stats, in[i - 1], prob_bits);
+        RansEncPutAlias(&r0, &ptr, &stats, in[i - 2], prob_bits);
+      }
+      RansEncFlush(&r1, &ptr);
+      RansEncFlush(&r0, &ptr);
+    }
+    write_payload(argv[4], ptr, out.data() + out.size() - ptr);
   } else {
     fprintf(stderr, "unsupported variant %s\n", variant.c_str());
     return 2;

@@ -64,6 +64,8 @@ CASES = [
     ("word", Variant.WORD, 1),
     ("word", Variant.WORD, 2),
     ("word", Variant.WORD, 8),
+    ("alias", Variant.ALIAS, 1),
+    ("alias", Variant.ALIAS, 2),
 ]
 
 
