@@ -79,10 +79,9 @@ def main():
                                           sb=cfg.prob_bits, n_blocks=NB,
                                           interpret=False)
         words, nw = word_tpu.compact_emissions(emit, xf, BS, NB)
-        cap_rows = max(cap_rows,
-                       (int(np.max(np.asarray(nw))) - 2 * N + N + 511) // 256)
+        cap_rows = max(cap_rows, word_tpu.decode_cap_rows(
+            int(np.max(np.asarray(nw))), R))
         prepped.append(words)
-    cap_rows = -(-cap_rows // 8) * 8
     for words in prepped:
         a, b = word_tpu.prep_decode(words, R, cap_rows, NB)
         x0s.append(a)

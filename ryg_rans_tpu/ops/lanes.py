@@ -18,6 +18,8 @@ Measured on TPU v5e (see docs/DESIGN.md): one (R,128) lane-gather ~80ns with
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -113,6 +115,59 @@ def lane_prefix_sum(mask_f32, tri, R: int):
     incl = (cs + cross).astype(jnp.int32)
     total = jnp.sum(mask_f32).astype(jnp.int32)
     return incl, total
+
+
+def lane_prefix_sum_rows(mask_f32, tri, R: int):
+    """lane_prefix_sum that also returns per-row start offsets.
+
+    Returns (inclusive_prefix (R,128) i32, total i32, row_start (R,1) i32)
+    where row_start[r] = number of set lanes in rows < r (the flattened
+    exclusive prefix at each row's first lane).
+    """
+    cs = jnp.dot(mask_f32, tri, preferred_element_type=jnp.float32)
+    rowtot = cs[:, 127:128]
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    lower = (cols_i < rows_i).astype(jnp.float32)
+    cross = jnp.dot(lower, jnp.broadcast_to(rowtot, (R, 128)),
+                    preferred_element_type=jnp.float32)[:, :1]
+    incl = (cs + cross).astype(jnp.int32)
+    total = jnp.sum(mask_f32).astype(jnp.int32)
+    return incl, total, cross.astype(jnp.int32)
+
+
+def window_fetch_mono(window, row_rel, rel, col, W: int, shape):
+    """Monotone window gather: ``window[rel, col]`` per lane when ``rel`` is
+    non-decreasing in flattened lane order AND spans at most TWO values
+    within each sublane row (true for rANS renorm: one row of 128 lanes
+    consumes at most 128 stream cells < one window row).
+
+    Fetches the two candidate window rows per sublane row with one-hot MXU
+    matmuls -- exact in fp32 by splitting each int32 cell into 16-bit
+    halves -- then resolves per lane with two lane-gathers and one select.
+    O(4 matmuls + 2 gathers) regardless of window span, replacing the
+    O(W)-sweep window_select.
+    """
+    R = shape[0]
+    wlo = (window & 0xFFFF).astype(jnp.float32)
+    whi = srl(window, 16).astype(jnp.float32)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    oh0 = (iw == row_rel).astype(jnp.float32)
+    oh1 = (iw == row_rel + 1).astype(jnp.float32)
+    # HIGHEST precision: default MXU passes truncate inputs to bf16, which
+    # destroys 16-bit cell values; the one-hot side would survive but the
+    # window side must stay exact.
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    a_lo = dot(oh0, wlo)
+    a_hi = dot(oh0, whi)
+    b_lo = dot(oh1, wlo)
+    b_hi = dot(oh1, whi)
+    a = a_lo.astype(jnp.int32) | (a_hi.astype(jnp.int32) << 16)
+    b = b_lo.astype(jnp.int32) | (b_hi.astype(jnp.int32) << 16)
+    va = jnp.take_along_axis(a, col, axis=1)
+    vb = jnp.take_along_axis(b, col, axis=1)
+    return jnp.where(rel == row_rel, va, vb)
 
 
 def exact_div(x, freq, freq_f32_rcp=None):

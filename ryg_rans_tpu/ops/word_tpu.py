@@ -102,6 +102,22 @@ def _supports(cfg: RansConfig):
 # ---------------------------------------------------------------------------
 
 
+def wmax_rows(R: int) -> int:
+    """Worst-case window span in pair-rows (all N lanes renorm in one step:
+    N words = R/2 rows, +1 for the base offset), rounded to 8 sublanes for
+    Mosaic-legal dynamic slices."""
+    return -(-((R + 1) // 2 + 2) // 8) * 8
+
+
+def decode_cap_rows(max_words: int, R: int) -> int:
+    """Stream buffer capacity (pair-rows) for a block of ``max_words`` total
+    words: body + the kernel's window span of overread pad (the Pallas
+    analog of the reference's +16B SIMD pad, main_simd.cpp:145-146)."""
+    N = R * 128
+    body_rows = max(0, -(-(max_words - 2 * N) // 256))
+    return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8
+
+
 def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
                    T4: int, R: int, sb: int, groups: int = 1,
                    wfast: int = 0):
@@ -122,9 +138,9 @@ def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
            ).astype(jnp.float32)
     M1 = (1 << sb) - 1
     s4rows = (1 << sb) // 512
-    WMAX = (R + 1) // 2 + 1   # worst-case pair-rows a step can touch
-    # Fast-path span: covers ~2x the typical consumption (~0.28 words/lane
-    # at entropy ~4.5 bits/byte); tuned on v5e (docs/DESIGN.md).
+    WMAX = wmax_rows(R)       # worst-case pair-rows a step can touch
+    # Legacy sweep fast-path span (wfast > 0 only); the default monotone
+    # MXU fetch always covers WMAX exactly.
     WFAST = min(WMAX, wfast if wfast else max(2, R // 4))
 
     def substep(x, base, spk, k):
@@ -140,24 +156,41 @@ def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
         x = freq * lanes.srl(x, sb) + slot - cumv
         # renorm (<=1 word, rans_word_sse41.h:31-34)
         m = lanes.ult(x, 1 << 16)
-        incl, total = lanes.lane_prefix_sum(m.astype(jnp.float32), tri, R)
-        gidx = base + jnp.where(m, incl - 1, 0)
-        brow = jax.lax.shift_right_logical(base, 8)
-        rel = jax.lax.shift_right_logical(gidx, 8) - brow
-        col = jax.lax.shift_right_logical(gidx, 1) & 127
-        half = (gidx & 1) << 4
-        win = stream2_ref[pl.ds(brow, WFAST), :]
-        wv = lanes.window_select(win, rel, col, WFAST, (R, 128))
-        if WMAX > WFAST:
-            need_rare = jax.lax.shift_right_logical(
-                (base & 255) + total + 255, 8) > WFAST
+        if wfast == 0:
+            # monotone two-candidate window fetch via MXU one-hots: a row of
+            # 128 lanes consumes <=128 words < 256 words/window-row, so rel
+            # spans at most two rows per sublane row (lanes.py)
+            incl, total, rowstart = lanes.lane_prefix_sum_rows(
+                m.astype(jnp.float32), tri, R)
+            gidx = base + jnp.where(m, incl - 1, 0)
+            brow = jax.lax.shift_right_logical(base, 8)
+            rel = jax.lax.shift_right_logical(gidx, 8) - brow
+            row_rel = jax.lax.shift_right_logical(base + rowstart, 8) - brow
+            col = jax.lax.shift_right_logical(gidx, 1) & 127
+            half = (gidx & 1) << 4
+            win = stream2_ref[pl.ds(brow, WMAX), :]
+            wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
+                                         (R, 128))
+        else:
+            # legacy row-sweep path (A/B reference; see tune scripts)
+            incl, total = lanes.lane_prefix_sum(m.astype(jnp.float32), tri, R)
+            gidx = base + jnp.where(m, incl - 1, 0)
+            brow = jax.lax.shift_right_logical(base, 8)
+            rel = jax.lax.shift_right_logical(gidx, 8) - brow
+            col = jax.lax.shift_right_logical(gidx, 1) & 127
+            half = (gidx & 1) << 4
+            win = stream2_ref[pl.ds(brow, WFAST), :]
+            wv = lanes.window_select(win, rel, col, WFAST, (R, 128))
+            if WMAX > WFAST:
+                need_rare = jax.lax.shift_right_logical(
+                    (base & 255) + total + 255, 8) > WFAST
 
-            def rare():
-                wrest = stream2_ref[pl.ds(brow + WFAST, WMAX - WFAST), :]
-                return wv | lanes.window_select(
-                    wrest, rel - WFAST, col, WMAX - WFAST, (R, 128))
+                def rare():
+                    wrest = stream2_ref[pl.ds(brow + WFAST, WMAX - WFAST), :]
+                    return wv | lanes.window_select(
+                        wrest, rel - WFAST, col, WMAX - WFAST, (R, 128))
 
-            wv = jax.lax.cond(need_rare, rare, lambda: wv)
+                wv = jax.lax.cond(need_rare, rare, lambda: wv)
         word = lanes.srl(wv, half) & 0xFFFF
         x = jnp.where(m, (x << 16) | word, x)
         return x, base + total, spk
@@ -436,12 +469,8 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
         n_blocks = len(blocks)
         T = n_symbols_block // N
         T4 = T // 4
-        # capacity in PAIR rows: full body + N words of overread pad (the
-        # Pallas analog of the reference's +16B SIMD pad,
-        # main_simd.cpp:145-146); rounded to 8 rows for Mosaic tiling
         max_words = max(b.size for b in blocks)
-        cap_rows = -(-(max_words - 2 * N + N + 256) // 256)
-        cap_rows = -(-cap_rows // 8) * 8
+        cap_rows = decode_cap_rows(max_words, R)
         buf = np.zeros((n_blocks, max_words), np.int32)
         for i, b in enumerate(blocks):
             buf[i, :b.size] = b.astype(np.int32)

@@ -144,8 +144,7 @@ def roundtrip_step(mesh: Mesh, cfg: RansConfig, data_u8, freqs, cum_freqs,
     n_blocks = data_u8.size // B
     T4 = B // N // 4
     cap_words = B
-    cap_rows = -(-(B + N + 256) // 256)
-    cap_rows = -(-cap_rows // 8) * 8
+    cap_rows = word_tpu.decode_cap_rows(2 * N + B, R)
 
     enc_rows = jnp.asarray(word_tpu.pack_enc_rows(freqs, cum_freqs,
                                                   cfg.prob_bits))
