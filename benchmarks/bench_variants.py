@@ -1,0 +1,123 @@
+"""Per-variant decode/encode throughput on real TPU (dispatch-slope method).
+
+Prints one line per variant; the headline metric stays in bench.py.
+Run: `python benchmarks/bench_variants.py` (from the repo root).
+"""
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ryg_rans_tpu.config import DEFAULT_PROB_BITS, RansConfig, Variant
+    from ryg_rans_tpu.models import stats
+    from ryg_rans_tpu.ops import byte_tpu, rans64_tpu, word_tpu
+
+    book1 = np.frombuffer(open("/root/reference/book1", "rb").read(),
+                          np.uint8)
+    R, NB, BS = 64, 32, 1 << 19
+    N = R * 128
+    SYMS = NB * BS
+    data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
+
+    def slope(fn, x0s, st):
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def many(x0s, st, reps: int):
+            def one(c, i):
+                moved = tuple(x ^ (c & 0) for x in x0s)
+                out = fn(moved, st)
+                return c ^ out[0, 0], None
+            c, _ = jax.lax.scan(one, jnp.int32(0), jnp.arange(reps))
+            return c
+
+        def run(reps):
+            r = many(x0s, st, reps)
+            jax.block_until_ready(r)
+            t0 = time.perf_counter()
+            r = many(x0s, st, reps)
+            jax.block_until_ready(r)
+            return time.perf_counter() - t0
+
+        run(2), run(10)
+        a = min(run(2) for _ in range(3))
+        b = min(run(10) for _ in range(3))
+        return SYMS / ((b - a) / 8) / 1e9
+
+    for variant in (Variant.WORD, Variant.BYTE, Variant.ALIAS,
+                    Variant.RANS64):
+        pb = DEFAULT_PROB_BITS[variant]
+        if variant == Variant.RANS64:
+            pb = min(pb, 15)
+        cfg = RansConfig(variant=variant, prob_bits=pb, n_lanes=N,
+                         lanes_per_stream=N, block_symbols=BS)
+        freqs, cum = stats.build_model(data, pb)
+
+        if variant == Variant.WORD:
+            s4, fc = word_tpu.pack_dec_rows2(freqs, cum, pb)
+            tabs = (jnp.asarray(s4), jnp.asarray(fc))
+            blocks, _ = word_tpu.encode(cfg, data, freqs, cum,
+                                        interpret=False)
+            cap = word_tpu.decode_cap_rows(max(b.size for b in blocks), R)
+            buf = np.zeros((NB, max(b.size for b in blocks)), np.int32)
+            for i, b in enumerate(blocks):
+                buf[i, :b.size] = b.astype(np.int32)
+            x0, st = word_tpu.prep_decode(jnp.asarray(buf), R, cap, NB)
+            T4 = BS // N // 4
+            fn = lambda x0s, st: word_tpu.decode_blocks(
+                *tabs, x0s[0], st, T4=T4, R=R, sb=pb, cap_rows=cap,
+                n_blocks=NB)
+            x0s = (x0,)
+        elif variant in (Variant.BYTE, Variant.ALIAS):
+            tabs = byte_tpu.dec_tables(cfg, freqs, cum)
+            blocks, _ = byte_tpu.encode(cfg, data, freqs, cum,
+                                        interpret=False)
+            cap = byte_tpu.decode_cap_rows(max(b.size for b in blocks), R)
+            buf = np.zeros((NB, max(b.size for b in blocks)), np.int32)
+            for i, b in enumerate(blocks):
+                buf[i, :b.size] = b.astype(np.int32)
+            x0, st = byte_tpu.prep_decode(jnp.asarray(buf), R, cap, NB)
+            T4 = BS // N // 4
+            alias = variant == Variant.ALIAS
+            fn = lambda x0s, st, _t=tabs, _a=alias: byte_tpu.decode_blocks(
+                _t, x0s[0], st, T4=T4, R=R, sb=pb, cap_rows=cap,
+                n_blocks=NB, alias=_a)
+            x0s = (x0,)
+        else:
+            s4, fc = rans64_tpu.pack_dec_tables(freqs, cum, pb)
+            tabs = (jnp.asarray(s4), jnp.asarray(fc))
+            blocks, _ = rans64_tpu.encode(cfg, data, freqs, cum,
+                                          interpret=False)
+            cap = rans64_tpu.decode_cap_rows(max(b.size for b in blocks), R)
+            buf = np.zeros((NB, max(b.size for b in blocks)), np.uint32)
+            for i, b in enumerate(blocks):
+                buf[i, :b.size] = b
+            x0lo, x0hi, st = rans64_tpu.prep_decode(
+                jnp.asarray(buf.view(np.int32)), R, cap, NB)
+            T4 = BS // N // 4
+            fn = lambda x0s, st: rans64_tpu.decode_blocks(
+                *tabs, x0s[0], x0s[1], st, T4=T4, R=R, sb=pb, cap_rows=cap,
+                n_blocks=NB)
+            x0s = (x0lo, x0hi)
+
+        # correctness gate
+        out = fn(x0s, st)
+        dec = np.asarray(word_tpu.unpack_symbols(out, BS // N // 4, R, NB))
+        ok = np.array_equal(dec, data)
+        gbs = slope(fn, x0s, st) if ok else 0.0
+        payload = sum(b.size * b.dtype.itemsize for b in blocks)
+        print(f"{variant.name:6s} pb={pb:2d} decode {gbs:6.3f} GB/s  "
+              f"payload {payload} B  roundtrip={'ok' if ok else 'FAIL'}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

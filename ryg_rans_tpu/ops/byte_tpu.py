@@ -119,6 +119,20 @@ def _supports(cfg: RansConfig):
 # ---------------------------------------------------------------------------
 
 
+def wmax_rows(R: int) -> int:
+    """Worst-case window span in 4-byte rows (2 bytes/lane/step = R/2 rows,
+    +offset/idx1 spill), rounded to 8 sublanes for Mosaic slices."""
+    return -(-((R + 1) // 2 + 2) // 8) * 8
+
+
+def decode_cap_rows(max_bytes: int, R: int) -> int:
+    """Stream buffer capacity (4-byte rows) for a block of ``max_bytes``
+    total payload bytes: body + the kernel's window span of overread pad."""
+    N = R * 128
+    body_rows = max(0, -(-(max_bytes - 4 * N) // 512))
+    return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8
+
+
 def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool):
     """Decode one block: 4*T4 steps over (R,128) lanes, 8-bit renorm."""
     if alias:
@@ -135,8 +149,7 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool):
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
            ).astype(jnp.float32)
     M1 = (1 << sb) - 1
-    WMAX = R // 2 + 2          # worst case: 2 bytes/lane -> R/2 rows (+spill)
-    WFAST = min(WMAX, max(2, R // 4))
+    WMAX = wmax_rows(R)
 
     def body(i4, carry):
         x, base = carry
@@ -167,31 +180,22 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool):
             m1 = lanes.ult(x, 1 << L_BITS)
             m2 = lanes.ult(x, 1 << (L_BITS - 8))
             kf = m1.astype(jnp.float32) + m2.astype(jnp.float32)
-            incl, total = lanes.lane_prefix_sum(kf, tri, R)
+            incl, total, rowstart = lanes.lane_prefix_sum_rows(kf, tri, R)
             excl = incl - m1.astype(jnp.int32) - m2.astype(jnp.int32)
             idx0 = base + excl        # first (most-significant) refill byte
             idx1 = idx0 + 1
+            # monotone two-candidate window fetch (lanes.window_fetch_mono):
+            # a row of 128 lanes consumes <=256 bytes < 512 bytes/window-row,
+            # so both byte indices stay within {row_rel, row_rel+1}
             brow = jax.lax.shift_right_logical(base, 9)
+            row_rel = jax.lax.shift_right_logical(base + rowstart, 9) - brow
             rel0 = jax.lax.shift_right_logical(idx0, 9) - brow
             rel1 = jax.lax.shift_right_logical(idx1, 9) - brow
             col0 = jax.lax.shift_right_logical(idx0, 2) & 127
             col1 = jax.lax.shift_right_logical(idx1, 2) & 127
-            win = stream4_ref[pl.ds(brow, WFAST), :]
-            v0 = lanes.window_select(win, rel0, col0, WFAST, (R, 128))
-            v1 = lanes.window_select(win, rel1, col1, WFAST, (R, 128))
-            if WMAX > WFAST:
-                need_rare = jax.lax.shift_right_logical(
-                    (base & 511) + total + 1 + 511, 9) > WFAST
-
-                def rare():
-                    wrest = stream4_ref[pl.ds(brow + WFAST, WMAX - WFAST), :]
-                    a0 = v0 | lanes.window_select(
-                        wrest, rel0 - WFAST, col0, WMAX - WFAST, (R, 128))
-                    a1 = v1 | lanes.window_select(
-                        wrest, rel1 - WFAST, col1, WMAX - WFAST, (R, 128))
-                    return a0, a1
-
-                v0, v1 = jax.lax.cond(need_rare, rare, lambda: (v0, v1))
+            win = stream4_ref[pl.ds(brow, WMAX), :]
+            v0, v1 = lanes.window_fetch_mono2(win, row_rel, (rel0, rel1),
+                                              (col0, col1), WMAX, (R, 128))
             b0 = lanes.srl(v0, (idx0 & 3) << 3) & 0xFF
             b1 = lanes.srl(v1, (idx1 & 3) << 3) & 0xFF
             x = jnp.where(m2, (x << 16) | (b0 << 8) | b1,
@@ -471,11 +475,8 @@ def decode(cfg: RansConfig, byte_blocks: list[np.ndarray],
         n_blocks = len(blocks)
         T = n_symbols_block // N
         T4 = T // 4
-        # capacity in 4-byte rows: body + N bytes of overread pad (Pallas
-        # analog of the reference's SIMD pad, main_simd.cpp:145-146)
         max_bytes = max(b.size for b in blocks)
-        cap_rows = -(-(max_bytes - 4 * N + N + 512) // 512)
-        cap_rows = -(-cap_rows // 8) * 8
+        cap_rows = decode_cap_rows(max_bytes, R)
         buf = np.zeros((n_blocks, max_bytes), np.int32)
         for i, b in enumerate(blocks):
             buf[i, :b.size] = b.astype(np.int32)

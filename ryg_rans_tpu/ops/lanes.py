@@ -148,6 +148,26 @@ def window_fetch_mono(window, row_rel, rel, col, W: int, shape):
     O(4 matmuls + 2 gathers) regardless of window span, replacing the
     O(W)-sweep window_select.
     """
+    a, b = _mono_candidates(window, row_rel, W, shape)
+    va = jnp.take_along_axis(a, col, axis=1)
+    vb = jnp.take_along_axis(b, col, axis=1)
+    return jnp.where(rel == row_rel, va, vb)
+
+
+def window_fetch_mono2(window, row_rel, rels, cols, W: int, shape):
+    """window_fetch_mono for several (rel, col) index pairs sharing one
+    candidate fetch (the BYTE variant's two refill bytes per symbol)."""
+    a, b = _mono_candidates(window, row_rel, W, shape)
+    outs = []
+    for rel, col in zip(rels, cols):
+        va = jnp.take_along_axis(a, col, axis=1)
+        vb = jnp.take_along_axis(b, col, axis=1)
+        outs.append(jnp.where(rel == row_rel, va, vb))
+    return tuple(outs)
+
+
+def _mono_candidates(window, row_rel, W: int, shape):
+    """The two per-sublane-row candidate window rows, via one-hot MXU dots."""
     R = shape[0]
     wlo = (window & 0xFFFF).astype(jnp.float32)
     whi = srl(window, 16).astype(jnp.float32)
@@ -159,15 +179,11 @@ def window_fetch_mono(window, row_rel, rel, col, W: int, shape):
     # window side must stay exact.
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
-    a_lo = dot(oh0, wlo)
-    a_hi = dot(oh0, whi)
-    b_lo = dot(oh1, wlo)
-    b_hi = dot(oh1, whi)
-    a = a_lo.astype(jnp.int32) | (a_hi.astype(jnp.int32) << 16)
-    b = b_lo.astype(jnp.int32) | (b_hi.astype(jnp.int32) << 16)
-    va = jnp.take_along_axis(a, col, axis=1)
-    vb = jnp.take_along_axis(b, col, axis=1)
-    return jnp.where(rel == row_rel, va, vb)
+    a = dot(oh0, wlo).astype(jnp.int32) \
+        | (dot(oh0, whi).astype(jnp.int32) << 16)
+    b = dot(oh1, wlo).astype(jnp.int32) \
+        | (dot(oh1, whi).astype(jnp.int32) << 16)
+    return a, b
 
 
 def exact_div(x, freq, freq_f32_rcp=None):

@@ -94,6 +94,20 @@ def _mul_u16_u64(freq, hi, lo):
 # ---------------------------------------------------------------------------
 
 
+def wmax_rows(R: int) -> int:
+    """Worst-case window span in word-rows (1 word/lane/step = R rows,
+    +offset spill), rounded to 8 sublanes for Mosaic slices."""
+    return -(-(R + 2) // 8) * 8
+
+
+def decode_cap_rows(max_words: int, R: int) -> int:
+    """Stream buffer capacity (128-word rows) for ``max_words`` total words:
+    body + the kernel's window span of overread pad."""
+    N = R * 128
+    body_rows = max(0, -(-(max_words - 2 * N) // 128))
+    return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8
+
+
 def _decode_kernel(sym4_ref, fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref,
                    *, T4: int, R: int, sb: int):
     sym4 = sym4_ref[:]
@@ -103,8 +117,7 @@ def _decode_kernel(sym4_ref, fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref,
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
            ).astype(jnp.float32)
     M1 = (1 << sb) - 1
-    WMAX = R + 1               # worst case: 1 word/lane -> R window rows
-    WFAST = min(WMAX, max(2, R // 4))
+    WMAX = wmax_rows(R)        # worst case: 1 word/lane -> R window rows
 
     def body(i4, carry):
         hi, lo, base = carry
@@ -127,26 +140,20 @@ def _decode_kernel(sym4_ref, fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref,
                 - jnp.where((d < 0) & lanes.ugt(s, lo), 1, 0)
             lo = s
             spk = spk | (sym << (8 * k))
-            # renorm: <=1 whole word (rans64.h:134-139)
+            # renorm: <=1 whole word (rans64.h:134-139); monotone
+            # two-candidate fetch: a row of 128 lanes consumes <=128 words
+            # = one window row, so rel stays within {row_rel, row_rel+1}
             m = (hi == 0) & (lo >= 0)          # x < 2^31
             mf = m.astype(jnp.float32)
-            incl, total = lanes.lane_prefix_sum(mf, tri, R)
+            incl, total, rowstart = lanes.lane_prefix_sum_rows(mf, tri, R)
             gidx = base + jnp.where(m, incl - 1, 0)
             brow = jax.lax.shift_right_logical(base, 7)
+            row_rel = jax.lax.shift_right_logical(base + rowstart, 7) - brow
             rel = jax.lax.shift_right_logical(gidx, 7) - brow
             col = gidx & 127
-            win = stream_ref[pl.ds(brow, WFAST), :]
-            wv = lanes.window_select(win, rel, col, WFAST, (R, 128))
-            if WMAX > WFAST:
-                need_rare = jax.lax.shift_right_logical(
-                    (base & 127) + total + 127, 7) > WFAST
-
-                def rare():
-                    wrest = stream_ref[pl.ds(brow + WFAST, WMAX - WFAST), :]
-                    return wv | lanes.window_select(
-                        wrest, rel - WFAST, col, WMAX - WFAST, (R, 128))
-
-                wv = jax.lax.cond(need_rare, rare, lambda: wv)
+            win = stream_ref[pl.ds(brow, WMAX), :]
+            wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
+                                         (R, 128))
             hi = jnp.where(m, lo, hi)
             lo = jnp.where(m, wv, lo)
             base = base + total
@@ -393,8 +400,7 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
         T = n_symbols_block // N
         T4 = T // 4
         max_words = max(b.size for b in blocks)
-        cap_rows = -(-(max_words - 2 * N + N + 128) // 128)
-        cap_rows = -(-cap_rows // 8) * 8
+        cap_rows = decode_cap_rows(max_words, R)
         buf = np.zeros((n_blocks, max_words), np.uint32)
         for i, b in enumerate(blocks):
             buf[i, :b.size] = b
