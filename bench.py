@@ -8,7 +8,8 @@ rans_word at 550.8 MB/s on an i7-2600K (README:112, BASELINE.md).
 Methodology: the corpus is book1 tiled to 32 blocks x 2^19 symbols (16.8 MB)
 so the chip runs at steady state; timing uses the slope between scan-chained
 in-dispatch repetitions (2 vs 14) to exclude host/tunnel round-trip latency
-(the reference likewise times only its codec loops, main.cpp:169-186).
+(the reference likewise times only its codec loops, main.cpp:169-186); the
+scan carry makes each repetition data-dependent so no dispatch is elided.
 Decoded output is byte-compared against the input before timing; the
 benchmark refuses to print a number for a broken codec.
 """
@@ -61,53 +62,41 @@ def main():
     SYMS = NB * BS
     cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=N,
                      lanes_per_stream=N, block_symbols=BS)
-    K = 4
-    datasets = [np.roll(np.tile(book1, (SYMS // book1.size) + 1),
-                        9173 * i)[:SYMS] for i in range(K)]
-    freqs, cum = stats.build_model(datasets[0], cfg.prob_bits)
+    data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
     enc_rows = jnp.asarray(word_tpu.pack_enc_rows(freqs, cum, cfg.prob_bits))
     s4, fc = word_tpu.pack_dec_rows2(freqs, cum, cfg.prob_bits)
     sym4, fcr = jnp.asarray(s4), jnp.asarray(fc)
     T4 = BS // N // 4
 
-    x0s, streams = [], []
-    cap_rows = 0
-    prepped = []
-    for d in datasets:
-        spk = word_tpu.pack_symbols(jnp.asarray(d), T4, R, NB)
-        emit, xf = word_tpu.encode_blocks(enc_rows, spk, T4=T4, R=R,
-                                          sb=cfg.prob_bits, n_blocks=NB,
-                                          interpret=False)
-        words, nw = word_tpu.compact_emissions(emit, xf, BS, NB)
-        cap_rows = max(cap_rows, word_tpu.decode_cap_rows(
-            int(np.max(np.asarray(nw))), R))
-        prepped.append(words)
-    for words in prepped:
-        a, b = word_tpu.prep_decode(words, R, cap_rows, NB)
-        x0s.append(a)
-        streams.append(b)
-    X0, ST = jnp.stack(x0s), jnp.stack(streams)
+    spk = word_tpu.pack_symbols(jnp.asarray(data), T4, R, NB)
+    emit, xf = word_tpu.encode_blocks(enc_rows, spk, T4=T4, R=R,
+                                      sb=cfg.prob_bits, n_blocks=NB,
+                                      interpret=False)
+    words, nw = word_tpu.compact_emissions(emit, xf, BS, NB)
+    cap_rows = word_tpu.decode_cap_rows(int(np.max(np.asarray(nw))), R)
+    X0, ST = word_tpu.prep_decode(words, R, cap_rows, NB)
     jax.block_until_ready(ST)
 
-    # correctness gate: full byte-exact round-trip of every dataset
-    for i, d in enumerate(datasets):
-        out = word_tpu.decode_blocks(sym4, fcr, X0[i], ST[i], T4=T4, R=R,
-                                     sb=cfg.prob_bits, cap_rows=cap_rows,
-                                     n_blocks=NB, interpret=False)
-        dec = np.asarray(word_tpu.unpack_symbols(out, T4, R, NB))
-        if not np.array_equal(dec, d):
-            print(json.dumps({"metric": "decode_throughput_tpu",
-                              "value": 0.0, "unit": "GB/s",
-                              "vs_baseline": 0.0}))
-            print("ERROR: round-trip mismatch", file=sys.stderr)
-            sys.exit(1)
+    # correctness gate: full byte-exact round-trip
+    out = word_tpu.decode_blocks(sym4, fcr, X0, ST, T4=T4, R=R,
+                                 sb=cfg.prob_bits, cap_rows=cap_rows,
+                                 n_blocks=NB, interpret=False)
+    dec = np.asarray(word_tpu.unpack_symbols(out, T4, R, NB))
+    if not np.array_equal(dec, data):
+        print(json.dumps({"metric": "decode_throughput_tpu",
+                          "value": 0.0, "unit": "GB/s",
+                          "vs_baseline": 0.0}))
+        print("ERROR: round-trip mismatch", file=sys.stderr)
+        sys.exit(1)
 
     @functools.partial(jax.jit, static_argnames=("reps",))
     def dec_many(X0, ST, reps: int):
         def one(c, i):
-            k = i % K
-            x0k = jnp.where(c == jnp.int32(123456789), X0[k] ^ 1, X0[k])
-            out = word_tpu.decode_blocks(sym4, fcr, x0k, ST[k], T4=T4, R=R,
+            # carry-dependent input defeats loop-invariant hoisting; the
+            # scan carry makes every repetition's dispatch real work
+            x0k = jnp.where(c == jnp.int32(123456789), X0 ^ 1, X0)
+            out = word_tpu.decode_blocks(sym4, fcr, x0k, ST, T4=T4, R=R,
                                          sb=cfg.prob_bits, cap_rows=cap_rows,
                                          n_blocks=NB, interpret=False)
             return c ^ out[0, 0], None

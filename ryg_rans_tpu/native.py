@@ -1,4 +1,4 @@
-"""ctypes binding to the C++ native core (csrc/rans_core.cpp).
+"""ctypes binding to the C++ native core (ryg_rans_tpu/csrc/rans_core.cpp).
 
 The shared library is built on first use with g++ (cached next to the
 source, keyed on a source hash).  Falls back gracefully: ``available()``
@@ -20,7 +20,7 @@ import numpy as np
 
 from .config import RansConfig, Variant
 
-_SRC = pathlib.Path(__file__).resolve().parent.parent / "csrc" / "rans_core.cpp"
+_SRC = pathlib.Path(__file__).resolve().parent / "csrc" / "rans_core.cpp"
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
