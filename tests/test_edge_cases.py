@@ -1,0 +1,110 @@
+"""Edge-case and fuzz tests for the container API across backends."""
+
+import numpy as np
+import pytest
+
+from ryg_rans_tpu import api, native
+from ryg_rans_tpu.config import DEFAULT_PROB_BITS, RansConfig, Variant
+
+VARIANTS = [Variant.BYTE, Variant.WORD, Variant.RANS64, Variant.ALIAS]
+BACKENDS = ["numpy"] + (["native"] if native.available() else [])
+
+
+def _cfg(variant, **kw):
+    d = dict(variant=variant, prob_bits=DEFAULT_PROB_BITS[variant],
+             n_lanes=64, lanes_per_stream=64, block_symbols=4096)
+    d.update(kw)
+    return RansConfig(**d)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("variant", VARIANTS)
+@pytest.mark.parametrize("n", [1, 2, 3, 255, 256, 257])
+def test_tiny_inputs(backend, variant, n, rng):
+    data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    blob = api.compress(data, _cfg(variant), backend=backend)
+    assert api.decompress(blob, backend=backend) == data
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_single_symbol_input(variant):
+    """Degenerate model: one symbol with the full probability mass
+    (freq = M exercises x_max/cmpl_freq wraparound paths)."""
+    data = b"\x42" * 5000
+    blob = api.compress(data, _cfg(variant), backend="numpy")
+    assert api.decompress(blob, backend="numpy") == data
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_two_symbol_skewed(variant):
+    """freq=1 symbol next to a dominant one (the steal-one-slot fixup and
+    the freq<2 reciprocal special case, rans_byte.h:199-228)."""
+    data = (b"\x00" * 9999) + b"\xff"
+    blob = api.compress(data, _cfg(variant), backend="numpy")
+    assert api.decompress(blob, backend="numpy") == data
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_all_symbols_uniform(variant, rng):
+    data = np.tile(np.arange(256, dtype=np.uint8), 40).tobytes()
+    blob = api.compress(data, _cfg(variant), backend="numpy")
+    assert api.decompress(blob, backend="numpy") == data
+
+
+def test_incompressible_data(rng):
+    """Random bytes: compressed size may exceed input; must still
+    round-trip (the capacity bounds hold at freq ~ uniform)."""
+    data = rng.integers(0, 256, 20000, dtype=np.uint8).tobytes()
+    for variant in VARIANTS:
+        blob = api.compress(data, _cfg(variant), backend="numpy")
+        assert api.decompress(blob, backend="numpy") == data
+
+
+@pytest.mark.parametrize("variant", [Variant.WORD, Variant.BYTE])
+def test_fuzz_roundtrip_tpu_kernels(variant, rng):
+    """Randomized lengths/contents through the Pallas kernels (interpret)."""
+    for trial in range(3):
+        n = int(rng.integers(1, 30000))
+        mode = trial % 3
+        if mode == 0:
+            data = rng.integers(0, 256, n, dtype=np.uint8)
+        elif mode == 1:
+            data = (rng.normal(128, 12, n).clip(0, 255)).astype(np.uint8)
+        else:
+            data = np.zeros(n, np.uint8)
+            data[rng.integers(0, n, max(1, n // 50))] = 255
+        cfg = RansConfig(variant=variant,
+                         prob_bits=DEFAULT_PROB_BITS[variant],
+                         n_lanes=128, lanes_per_stream=128,
+                         block_symbols=8192)
+        blob = api.compress(data.tobytes(), cfg, backend="tpu")
+        assert api.decompress(blob, backend="tpu") == data.tobytes()
+
+
+def test_truncated_container_rejected(book1_head):
+    blob = api.compress(book1_head[:5000].tobytes(),
+                        _cfg(Variant.WORD), backend="numpy")
+    for cut in (10, 100, len(blob) - 3):
+        with pytest.raises(ValueError):
+            api.decompress(blob[:cut], backend="numpy")
+
+
+def test_header_field_corruption_rejected(book1_head):
+    blob = bytearray(api.compress(book1_head[:5000].tobytes(),
+                                  _cfg(Variant.WORD), backend="numpy"))
+    blob[0] = 0x58  # magic
+    with pytest.raises(ValueError, match="TRNS"):
+        api.decompress(bytes(blob), backend="numpy")
+
+
+def test_cross_backend_decode(book1_head):
+    """Every backend decodes every other backend's container."""
+    data = book1_head[:12000].tobytes()
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=128,
+                     lanes_per_stream=128, block_symbols=4096)
+    blobs = {be: api.compress(data, cfg, backend=be)
+             for be in BACKENDS + ["tpu"]}
+    assert len(set(blobs.values())) == 1
+    for be in BACKENDS + ["tpu"]:
+        for blob in blobs.values():
+            assert api.decompress(blob, backend=be) == data
