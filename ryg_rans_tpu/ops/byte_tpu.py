@@ -49,6 +49,12 @@ L_BITS = 23  # rans_byte.h:50
 # ---------------------------------------------------------------------------
 
 
+def _use_bisect(sb: int) -> bool:
+    """Binary search on cum beats the packed cum2sym sweep once the slot
+    table exceeds 16 rows (M/512 > 16 <=> sb >= 14)."""
+    return (1 << sb) // 512 > 16
+
+
 def pack_byte_dec_tables(freqs, cum_freqs, sb: int):
     """Two-level BYTE decode tables: cum2sym packed 4/int32 (M/512 rows) and
     per-symbol (freq << 16) | cum rows (freq <= 2^14 at sb <= 14)."""
@@ -140,6 +146,9 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool):
         div = div_ref[:]
         pa = pa_ref[:]
         adj = adj_ref[:]
+    elif _use_bisect(sb):
+        fc_ref, x0_ref, stream4_ref, out_ref = refs
+        fc = fc_ref[:]
     else:
         sym4_ref, fc_ref, x0_ref, stream4_ref, out_ref = refs
         sym4 = sym4_ref[:]
@@ -166,6 +175,13 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool):
                 sym = e & 0xFF
                 freq = lanes.srl(e, 8)
                 x = freq * lanes.srl(x, sb) + slot - av
+            elif _use_bisect(sb):
+                # binary search on cum (16 row-gathers) beats the 4-packed
+                # cum2sym sweep (M/512 = 32+ rows) at prob_bits >= 14
+                sym = lanes.cum2sym_bisect(fc, slot, (R, 128))
+                e = lanes.table_lookup(fc, sym, 2, (R, 128))
+                freq = lanes.srl(e, 16)
+                x = freq * lanes.srl(x, sb) + slot - (e & 0xFFFF)
             else:
                 # two-level cum2sym lookup + advance (rans_byte.h:125-149)
                 s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
@@ -405,8 +421,10 @@ def dec_tables(cfg: RansConfig, freqs, cum_freqs):
     if cfg.variant == Variant.ALIAS:
         return tuple(jnp.asarray(t) for t in pack_alias_dec_tables(
             freqs, cum_freqs, cfg.prob_bits))
-    return tuple(jnp.asarray(t) for t in pack_byte_dec_tables(
-        freqs, cum_freqs, cfg.prob_bits))
+    sym4, fc = pack_byte_dec_tables(freqs, cum_freqs, cfg.prob_bits)
+    if _use_bisect(cfg.prob_bits):
+        return (jnp.asarray(fc),)
+    return (jnp.asarray(sym4), jnp.asarray(fc))
 
 
 def enc_tables(cfg: RansConfig, freqs, cum_freqs):

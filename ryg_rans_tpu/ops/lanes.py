@@ -91,6 +91,26 @@ def window_select(window, rel, col, W: int, shape):
     return out
 
 
+def cum2sym_bisect(fc_rows, slot, shape):
+    """slot -> symbol via branchless binary search over the 256-entry
+    (freq<<16 | cum) table packed as (2,128) int32 rows.
+
+    The vector analog of std::upper_bound on cum_freqs: 8 halving steps,
+    each one 2-row table gather + compare on the cum field.  Beats sweeping
+    the packed cum2sym slot table when that table exceeds ~16 rows
+    (prob_bits >= 14); below that the direct sweep wins (see
+    byte_tpu/rans64_tpu call sites).  Returns the greatest s with
+    cum[s] <= slot (freq-0 runs resolve to the real symbol by maximality:
+    cum[s+1] > slot implies freq[s] > 0).
+    """
+    lo = jnp.zeros(shape, jnp.int32)
+    for step in (128, 64, 32, 16, 8, 4, 2, 1):
+        cand = lo + step
+        cv = table_lookup(fc_rows, cand, 2, shape) & 0xFFFF
+        lo = jnp.where(cv <= slot, cand, lo)
+    return lo
+
+
 def make_tri128() -> np.ndarray:
     """(128,128) fp32 matrix computing an inclusive prefix sum along lanes:
     cs = m @ tri  (tri[i,j] = 1 for i <= j)."""

@@ -124,9 +124,14 @@ def _decode_kernel(sym4_ref, fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref,
         spk = jnp.zeros((R, 128), jnp.int32)
         for k in range(4):
             slot = lo & M1
-            s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
-                                    (R, 128))
-            sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
+            if s4rows > 16:
+                # binary search on cum beats the 4-packed cum2sym sweep
+                # once the slot table exceeds 16 rows (prob_bits >= 14)
+                sym = lanes.cum2sym_bisect(fc, slot, (R, 128))
+            else:
+                s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
+                                        (R, 128))
+                sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
             e = lanes.table_lookup(fc, sym, 2, (R, 128))
             freq = lanes.srl(e, 16)
             cumv = e & 0xFFFF
