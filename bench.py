@@ -81,7 +81,7 @@ def main():
     # correctness gate: full byte-exact round-trip
     out = word_tpu.decode_blocks(sym4, fcr, X0, ST, T4=T4, R=R,
                                  sb=cfg.prob_bits, cap_rows=cap_rows,
-                                 n_blocks=NB, interpret=False)
+                                 n_blocks=NB, interpret=False, ilp=2)
     dec = np.asarray(word_tpu.unpack_symbols(out, T4, R, NB))
     if not np.array_equal(dec, data):
         print(json.dumps({"metric": "decode_throughput_tpu",
@@ -98,7 +98,8 @@ def main():
             x0k = jnp.where(c == jnp.int32(123456789), X0 ^ 1, X0)
             out = word_tpu.decode_blocks(sym4, fcr, x0k, ST, T4=T4, R=R,
                                          sb=cfg.prob_bits, cap_rows=cap_rows,
-                                         n_blocks=NB, interpret=False)
+                                         n_blocks=NB, interpret=False,
+                                         ilp=2)
             return c ^ out[0, 0], None
         c, _ = jax.lax.scan(one, jnp.int32(0), jnp.arange(reps))
         return c

@@ -74,7 +74,7 @@ def main():
             T4 = BS // N // 4
             fn = lambda x0s, st: word_tpu.decode_blocks(
                 *tabs, x0s[0], st, T4=T4, R=R, sb=pb, cap_rows=cap,
-                n_blocks=NB)
+                n_blocks=NB, ilp=2)
             x0s = (x0,)
         elif variant in (Variant.BYTE, Variant.ALIAS):
             tabs = byte_tpu.dec_tables(cfg, freqs, cum)
@@ -89,7 +89,7 @@ def main():
             alias = variant == Variant.ALIAS
             fn = lambda x0s, st, _t=tabs, _a=alias: byte_tpu.decode_blocks(
                 _t, x0s[0], st, T4=T4, R=R, sb=pb, cap_rows=cap,
-                n_blocks=NB, alias=_a)
+                n_blocks=NB, alias=_a, ilp=2)
             x0s = (x0,)
         else:
             s4, fc = rans64_tpu.pack_dec_tables(freqs, cum, pb)
@@ -105,7 +105,7 @@ def main():
             T4 = BS // N // 4
             fn = lambda x0s, st: rans64_tpu.decode_blocks(
                 *tabs, x0s[0], x0s[1], st, T4=T4, R=R, sb=pb, cap_rows=cap,
-                n_blocks=NB)
+                n_blocks=NB, ilp=2)
             x0s = (x0lo, x0hi)
 
         # correctness gate

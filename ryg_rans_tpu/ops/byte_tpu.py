@@ -139,7 +139,8 @@ def decode_cap_rows(max_bytes: int, R: int) -> int:
     return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8
 
 
-def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool):
+def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
+                   ilp: int = 1):
     """Decode one block: 4*T4 steps over (R,128) lanes, 8-bit renorm."""
     if alias:
         div_ref, pa_ref, adj_ref, x0_ref, stream4_ref, out_ref = refs
@@ -159,75 +160,89 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool):
            ).astype(jnp.float32)
     M1 = (1 << sb) - 1
     WMAX = wmax_rows(R)
+    cap_rows = stream4_ref.shape[0] // ilp
+
+    def substep(x, base, spk, k, woff):
+        slot = x & M1
+        if alias:
+            # O(1) alias lookup (RansDecGetAlias, main_alias.cpp:252-267)
+            bucket = lanes.srl(slot, sb - 8)
+            dv = lanes.table_lookup(div, bucket, 2, (R, 128))
+            b2 = 2 * bucket + (slot < dv).astype(jnp.int32)
+            e = lanes.table_lookup(pa, b2, 4, (R, 128))
+            av = lanes.table_lookup(adj, b2, 4, (R, 128))
+            sym = e & 0xFF
+            freq = lanes.srl(e, 8)
+            x = freq * lanes.srl(x, sb) + slot - av
+        elif _use_bisect(sb):
+            # binary search on cum (16 row-gathers) beats the 4-packed
+            # cum2sym sweep (M/512 = 32+ rows) at prob_bits >= 14
+            sym = lanes.cum2sym_bisect(fc, slot, (R, 128))
+            e = lanes.table_lookup(fc, sym, 2, (R, 128))
+            freq = lanes.srl(e, 16)
+            x = freq * lanes.srl(x, sb) + slot - (e & 0xFFFF)
+        else:
+            # two-level cum2sym lookup + advance (rans_byte.h:125-149)
+            s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
+                                    (R, 128))
+            sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
+            e = lanes.table_lookup(fc, sym, 2, (R, 128))
+            freq = lanes.srl(e, 16)
+            x = freq * lanes.srl(x, sb) + slot - (e & 0xFFFF)
+        spk = spk | (sym << (8 * k))
+        # closed-form renorm count: k = (x < 2^23) + (x < 2^15)
+        # (bounded form of the loop at rans_byte.h:307-318)
+        m1 = lanes.ult(x, 1 << L_BITS)
+        m2 = lanes.ult(x, 1 << (L_BITS - 8))
+        kf = m1.astype(jnp.float32) + m2.astype(jnp.float32)
+        incl, total, rowstart = lanes.lane_prefix_sum_rows(kf, tri, R)
+        excl = incl - m1.astype(jnp.int32) - m2.astype(jnp.int32)
+        idx0 = base + excl        # first (most-significant) refill byte
+        idx1 = idx0 + 1
+        # monotone two-candidate window fetch (lanes.window_fetch_mono):
+        # a row of 128 lanes consumes <=256 bytes < 512 bytes/window-row,
+        # so both byte indices stay within {row_rel, row_rel+1}
+        brow = jax.lax.shift_right_logical(base, 9)
+        row_rel = jax.lax.shift_right_logical(base + rowstart, 9) - brow
+        rel0 = jax.lax.shift_right_logical(idx0, 9) - brow
+        rel1 = jax.lax.shift_right_logical(idx1, 9) - brow
+        col0 = jax.lax.shift_right_logical(idx0, 2) & 127
+        col1 = jax.lax.shift_right_logical(idx1, 2) & 127
+        win = stream4_ref[pl.ds(woff + brow, WMAX), :]
+        v0, v1 = lanes.window_fetch_mono2(win, row_rel, (rel0, rel1),
+                                          (col0, col1), WMAX, (R, 128))
+        b0 = lanes.srl(v0, (idx0 & 3) << 3) & 0xFF
+        b1 = lanes.srl(v1, (idx1 & 3) << 3) & 0xFF
+        x = jnp.where(m2, (x << 16) | (b0 << 8) | b1,
+                      jnp.where(m1, (x << 8) | b0, x))
+        return x, base + total, spk
 
     def body(i4, carry):
-        x, base = carry
-        spk = jnp.zeros((R, 128), jnp.int32)
+        xs, bases = list(carry[0]), list(carry[1])
+        sps = [jnp.zeros((R, 128), jnp.int32) for _ in range(ilp)]
         for k in range(4):
-            slot = x & M1
-            if alias:
-                # O(1) alias lookup (RansDecGetAlias, main_alias.cpp:252-267)
-                bucket = lanes.srl(slot, sb - 8)
-                dv = lanes.table_lookup(div, bucket, 2, (R, 128))
-                b2 = 2 * bucket + (slot < dv).astype(jnp.int32)
-                e = lanes.table_lookup(pa, b2, 4, (R, 128))
-                av = lanes.table_lookup(adj, b2, 4, (R, 128))
-                sym = e & 0xFF
-                freq = lanes.srl(e, 8)
-                x = freq * lanes.srl(x, sb) + slot - av
-            elif _use_bisect(sb):
-                # binary search on cum (16 row-gathers) beats the 4-packed
-                # cum2sym sweep (M/512 = 32+ rows) at prob_bits >= 14
-                sym = lanes.cum2sym_bisect(fc, slot, (R, 128))
-                e = lanes.table_lookup(fc, sym, 2, (R, 128))
-                freq = lanes.srl(e, 16)
-                x = freq * lanes.srl(x, sb) + slot - (e & 0xFFFF)
-            else:
-                # two-level cum2sym lookup + advance (rans_byte.h:125-149)
-                s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
-                                        (R, 128))
-                sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
-                e = lanes.table_lookup(fc, sym, 2, (R, 128))
-                freq = lanes.srl(e, 16)
-                x = freq * lanes.srl(x, sb) + slot - (e & 0xFFFF)
-            spk = spk | (sym << (8 * k))
-            # closed-form renorm count: k = (x < 2^23) + (x < 2^15)
-            # (bounded form of the loop at rans_byte.h:307-318)
-            m1 = lanes.ult(x, 1 << L_BITS)
-            m2 = lanes.ult(x, 1 << (L_BITS - 8))
-            kf = m1.astype(jnp.float32) + m2.astype(jnp.float32)
-            incl, total, rowstart = lanes.lane_prefix_sum_rows(kf, tri, R)
-            excl = incl - m1.astype(jnp.int32) - m2.astype(jnp.int32)
-            idx0 = base + excl        # first (most-significant) refill byte
-            idx1 = idx0 + 1
-            # monotone two-candidate window fetch (lanes.window_fetch_mono):
-            # a row of 128 lanes consumes <=256 bytes < 512 bytes/window-row,
-            # so both byte indices stay within {row_rel, row_rel+1}
-            brow = jax.lax.shift_right_logical(base, 9)
-            row_rel = jax.lax.shift_right_logical(base + rowstart, 9) - brow
-            rel0 = jax.lax.shift_right_logical(idx0, 9) - brow
-            rel1 = jax.lax.shift_right_logical(idx1, 9) - brow
-            col0 = jax.lax.shift_right_logical(idx0, 2) & 127
-            col1 = jax.lax.shift_right_logical(idx1, 2) & 127
-            win = stream4_ref[pl.ds(brow, WMAX), :]
-            v0, v1 = lanes.window_fetch_mono2(win, row_rel, (rel0, rel1),
-                                              (col0, col1), WMAX, (R, 128))
-            b0 = lanes.srl(v0, (idx0 & 3) << 3) & 0xFF
-            b1 = lanes.srl(v1, (idx1 & 3) << 3) & 0xFF
-            x = jnp.where(m2, (x << 16) | (b0 << 8) | b1,
-                          jnp.where(m1, (x << 8) | b0, x))
-            base = base + total
-        out_ref[pl.ds(i4 * R, R), :] = spk
-        return (x, base)
+            # ilp independent blocks interleave their dependency chains
+            # (block-level 2-way interleave; see word_tpu)
+            for j in range(ilp):
+                xs[j], bases[j], sps[j] = substep(
+                    xs[j], bases[j], sps[j], k, j * cap_rows)
+        for j in range(ilp):
+            out_ref[pl.ds((j * T4 + i4) * R, R), :] = sps[j]
+        return (tuple(xs), tuple(bases))
 
-    jax.lax.fori_loop(0, T4, body, (x0_ref[:], jnp.int32(0)))
+    x0 = x0_ref[:]
+    jax.lax.fori_loop(
+        0, T4, body,
+        (tuple(x0[j * R:(j + 1) * R] for j in range(ilp)),
+         tuple(jnp.int32(0) for _ in range(ilp))))
 
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
-                                             "n_blocks", "alias", "interpret"))
+                                             "n_blocks", "alias", "interpret",
+                                             "ilp"))
 def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
                   cap_rows: int, n_blocks: int, alias: bool,
-                  interpret: bool = False):
+                  interpret: bool = False, ilp: int = 1):
     """Grid decode of n_blocks blocks.
 
     tables: (sym4, fc) for BYTE or (div, pa, adj) for ALIAS; x0
@@ -236,21 +251,24 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
     """
     if not interpret and R < 2:
         raise ValueError("compiled TPU decode needs n_lanes >= 256")
+    if n_blocks % ilp:
+        raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
     tab_specs = [
         pl.BlockSpec(t.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
         for t in tables
     ]
     return pl.pallas_call(
-        functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, alias=alias),
-        grid=(n_blocks,),
+        functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, alias=alias,
+                          ilp=ilp),
+        grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [
-            pl.BlockSpec((R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cap_rows, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * cap_rows, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*tables, x0, stream4_rows)
@@ -502,7 +520,8 @@ def decode(cfg: RansConfig, byte_blocks: list[np.ndarray],
         spk = decode_blocks(tables, x0, stream4, T4=T4, R=R,
                             sb=cfg.prob_bits, cap_rows=cap_rows,
                             n_blocks=n_blocks, alias=alias,
-                            interpret=interpret)
+                            interpret=interpret,
+                            ilp=2 if n_blocks % 2 == 0 else 1)
         outs.append(np.asarray(word_tpu.unpack_symbols(spk, T4, R, n_blocks)))
 
     if n_full:

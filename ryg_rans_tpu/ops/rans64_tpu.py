@@ -109,7 +109,7 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 
 
 def _decode_kernel(sym4_ref, fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref,
-                   *, T4: int, R: int, sb: int):
+                   *, T4: int, R: int, sb: int, ilp: int = 1):
     sym4 = sym4_ref[:]
     fc = fc_ref[:]
     s4rows = (1 << sb) // 512
@@ -118,83 +118,98 @@ def _decode_kernel(sym4_ref, fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref,
            ).astype(jnp.float32)
     M1 = (1 << sb) - 1
     WMAX = wmax_rows(R)        # worst case: 1 word/lane -> R window rows
+    cap_rows = stream_ref.shape[0] // ilp
+
+    def substep(hi, lo, base, spk, k, woff):
+        slot = lo & M1
+        if s4rows > 16:
+            # binary search on cum beats the 4-packed cum2sym sweep
+            # once the slot table exceeds 16 rows (prob_bits >= 14)
+            sym = lanes.cum2sym_bisect(fc, slot, (R, 128))
+        else:
+            s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
+                                    (R, 128))
+            sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
+        e = lanes.table_lookup(fc, sym, 2, (R, 128))
+        freq = lanes.srl(e, 16)
+        cumv = e & 0xFFFF
+        # advance: x = freq * (x >> sb) + slot - cum  (rans64.h:126-133)
+        y_lo = lanes.srl(lo, sb) | (hi << (32 - sb))
+        y_hi = lanes.srl(hi, sb)
+        hi, lo = _mul_u16_u64(freq, y_hi, y_lo)
+        d = slot - cumv
+        s = lo + d
+        hi = hi + jnp.where((d > 0) & lanes.ugt(lo, s), 1, 0) \
+            - jnp.where((d < 0) & lanes.ugt(s, lo), 1, 0)
+        lo = s
+        spk = spk | (sym << (8 * k))
+        # renorm: <=1 whole word (rans64.h:134-139); monotone
+        # two-candidate fetch: a row of 128 lanes consumes <=128 words
+        # = one window row, so rel stays within {row_rel, row_rel+1}
+        m = (hi == 0) & (lo >= 0)          # x < 2^31
+        mf = m.astype(jnp.float32)
+        incl, total, rowstart = lanes.lane_prefix_sum_rows(mf, tri, R)
+        gidx = base + jnp.where(m, incl - 1, 0)
+        brow = jax.lax.shift_right_logical(base, 7)
+        row_rel = jax.lax.shift_right_logical(base + rowstart, 7) - brow
+        rel = jax.lax.shift_right_logical(gidx, 7) - brow
+        col = gidx & 127
+        win = stream_ref[pl.ds(woff + brow, WMAX), :]
+        wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
+                                     (R, 128))
+        hi = jnp.where(m, lo, hi)
+        lo = jnp.where(m, wv, lo)
+        return hi, lo, base + total, spk
 
     def body(i4, carry):
-        hi, lo, base = carry
-        spk = jnp.zeros((R, 128), jnp.int32)
+        his, los, bases = (list(carry[0]), list(carry[1]), list(carry[2]))
+        sps = [jnp.zeros((R, 128), jnp.int32) for _ in range(ilp)]
         for k in range(4):
-            slot = lo & M1
-            if s4rows > 16:
-                # binary search on cum beats the 4-packed cum2sym sweep
-                # once the slot table exceeds 16 rows (prob_bits >= 14)
-                sym = lanes.cum2sym_bisect(fc, slot, (R, 128))
-            else:
-                s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
-                                        (R, 128))
-                sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
-            e = lanes.table_lookup(fc, sym, 2, (R, 128))
-            freq = lanes.srl(e, 16)
-            cumv = e & 0xFFFF
-            # advance: x = freq * (x >> sb) + slot - cum  (rans64.h:126-133)
-            y_lo = lanes.srl(lo, sb) | (hi << (32 - sb))
-            y_hi = lanes.srl(hi, sb)
-            hi, lo = _mul_u16_u64(freq, y_hi, y_lo)
-            d = slot - cumv
-            s = lo + d
-            hi = hi + jnp.where((d > 0) & lanes.ugt(lo, s), 1, 0) \
-                - jnp.where((d < 0) & lanes.ugt(s, lo), 1, 0)
-            lo = s
-            spk = spk | (sym << (8 * k))
-            # renorm: <=1 whole word (rans64.h:134-139); monotone
-            # two-candidate fetch: a row of 128 lanes consumes <=128 words
-            # = one window row, so rel stays within {row_rel, row_rel+1}
-            m = (hi == 0) & (lo >= 0)          # x < 2^31
-            mf = m.astype(jnp.float32)
-            incl, total, rowstart = lanes.lane_prefix_sum_rows(mf, tri, R)
-            gidx = base + jnp.where(m, incl - 1, 0)
-            brow = jax.lax.shift_right_logical(base, 7)
-            row_rel = jax.lax.shift_right_logical(base + rowstart, 7) - brow
-            rel = jax.lax.shift_right_logical(gidx, 7) - brow
-            col = gidx & 127
-            win = stream_ref[pl.ds(brow, WMAX), :]
-            wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
-                                         (R, 128))
-            hi = jnp.where(m, lo, hi)
-            lo = jnp.where(m, wv, lo)
-            base = base + total
-        out_ref[pl.ds(i4 * R, R), :] = spk
-        return (hi, lo, base)
+            # ilp independent blocks interleave their dependency chains
+            # (block-level 2-way interleave; see word_tpu)
+            for j in range(ilp):
+                his[j], los[j], bases[j], sps[j] = substep(
+                    his[j], los[j], bases[j], sps[j], k, j * cap_rows)
+        for j in range(ilp):
+            out_ref[pl.ds((j * T4 + i4) * R, R), :] = sps[j]
+        return (tuple(his), tuple(los), tuple(bases))
 
-    jax.lax.fori_loop(0, T4, body,
-                      (x0hi_ref[:], x0lo_ref[:], jnp.int32(0)))
+    xh, xl = x0hi_ref[:], x0lo_ref[:]
+    jax.lax.fori_loop(
+        0, T4, body,
+        (tuple(xh[j * R:(j + 1) * R] for j in range(ilp)),
+         tuple(xl[j * R:(j + 1) * R] for j in range(ilp)),
+         tuple(jnp.int32(0) for _ in range(ilp))))
 
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
-                                             "n_blocks", "interpret"))
+                                             "n_blocks", "interpret", "ilp"))
 def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
                   R: int, sb: int, cap_rows: int, n_blocks: int,
-                  interpret: bool = False):
+                  interpret: bool = False, ilp: int = 1):
     """Grid decode.  stream_rows: (n_blocks*cap_rows, 128) raw u32 words."""
     if not interpret and R < 2:
         raise ValueError("compiled TPU decode needs n_lanes >= 256")
+    if n_blocks % ilp:
+        raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
     s4rows = (1 << sb) // 512
     return pl.pallas_call(
-        functools.partial(_decode_kernel, T4=T4, R=R, sb=sb),
-        grid=(n_blocks,),
+        functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, ilp=ilp),
+        grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=[
             pl.BlockSpec((s4rows, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cap_rows, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * cap_rows, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows)
@@ -413,7 +428,8 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
             jnp.asarray(buf.view(np.int32)), R, cap_rows, n_blocks)
         spk = decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream,
                             T4=T4, R=R, sb=cfg.prob_bits, cap_rows=cap_rows,
-                            n_blocks=n_blocks, interpret=interpret)
+                            n_blocks=n_blocks, interpret=interpret,
+                            ilp=2 if n_blocks % 2 == 0 else 1)
         outs.append(np.asarray(word_tpu.unpack_symbols(spk, T4, R, n_blocks)))
 
     if n_full:

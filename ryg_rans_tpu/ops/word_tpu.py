@@ -120,7 +120,7 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 
 def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
                    T4: int, R: int, sb: int, groups: int = 1,
-                   wfast: int = 0):
+                   wfast: int = 0, ilp: int = 1):
     """Decode one block: 4*T4 steps over (R,128) lanes.
 
     Gather-count-optimized (see docs/DESIGN.md):
@@ -143,7 +143,9 @@ def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
     # MXU fetch always covers WMAX exactly.
     WFAST = min(WMAX, wfast if wfast else max(2, R // 4))
 
-    def substep(x, base, spk, k):
+    cap_rows = stream2_ref.shape[0] // ilp
+
+    def substep(x, base, spk, k, woff):
         slot = x & M1
         # two-level symbol lookup
         s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows, (R, 128))
@@ -168,7 +170,7 @@ def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
             row_rel = jax.lax.shift_right_logical(base + rowstart, 8) - brow
             col = jax.lax.shift_right_logical(gidx, 1) & 127
             half = (gidx & 1) << 4
-            win = stream2_ref[pl.ds(brow, WMAX), :]
+            win = stream2_ref[pl.ds(woff + brow, WMAX), :]
             wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
                                          (R, 128))
         else:
@@ -179,14 +181,15 @@ def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
             rel = jax.lax.shift_right_logical(gidx, 8) - brow
             col = jax.lax.shift_right_logical(gidx, 1) & 127
             half = (gidx & 1) << 4
-            win = stream2_ref[pl.ds(brow, WFAST), :]
+            win = stream2_ref[pl.ds(woff + brow, WFAST), :]
             wv = lanes.window_select(win, rel, col, WFAST, (R, 128))
             if WMAX > WFAST:
                 need_rare = jax.lax.shift_right_logical(
                     (base & 255) + total + 255, 8) > WFAST
 
                 def rare():
-                    wrest = stream2_ref[pl.ds(brow + WFAST, WMAX - WFAST), :]
+                    wrest = stream2_ref[
+                        pl.ds(woff + brow + WFAST, WMAX - WFAST), :]
                     return wv | lanes.window_select(
                         wrest, rel - WFAST, col, WMAX - WFAST, (R, 128))
 
@@ -196,23 +199,34 @@ def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
         return x, base + total, spk
 
     def body(i, carry):
-        x, base = carry
+        xs, bases = list(carry[0]), list(carry[1])
         for g in range(groups):
-            spk = jnp.zeros((R, 128), jnp.int32)
+            sps = [jnp.zeros((R, 128), jnp.int32) for _ in range(ilp)]
             for k in range(4):
-                x, base, spk = substep(x, base, spk, k)
-            out_ref[pl.ds((i * groups + g) * R, R), :] = spk
-        return (x, base)
+                # ilp independent blocks interleave their dependency
+                # chains (the reference's 2-way trick, main.cpp:227-291,
+                # applied at block level): ~25% on v5e (docs/DESIGN.md)
+                for j in range(ilp):
+                    xs[j], bases[j], sps[j] = substep(
+                        xs[j], bases[j], sps[j], k, j * cap_rows)
+            for j in range(ilp):
+                out_ref[pl.ds((j * T4 + i * groups + g) * R, R), :] = sps[j]
+        return (tuple(xs), tuple(bases))
 
-    jax.lax.fori_loop(0, T4 // groups, body, (x0_ref[:], jnp.int32(0)))
+    x0 = x0_ref[:]
+    jax.lax.fori_loop(
+        0, T4 // groups, body,
+        (tuple(x0[j * R:(j + 1) * R] for j in range(ilp)),
+         tuple(jnp.int32(0) for _ in range(ilp))))
 
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "interpret",
-                                             "groups", "wfast"))
+                                             "groups", "wfast", "ilp"))
 def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
                   sb: int, cap_rows: int, n_blocks: int,
-                  interpret: bool = False, groups: int = 1, wfast: int = 0):
+                  interpret: bool = False, groups: int = 1, wfast: int = 0,
+                  ilp: int = 1):
     """Grid decode of ``n_blocks`` blocks.
 
     x0: (n_blocks*R, 128); stream2_rows: (n_blocks*cap_rows, 128) with renorm
@@ -224,23 +238,25 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
                          "(Mosaic lane-gathers reject single-sublane shapes)")
     if T4 % groups:
         raise ValueError(f"T4={T4} not divisible by groups={groups}")
+    if n_blocks % ilp:
+        raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
     s4rows = (1 << sb) // 512
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, groups=groups,
-                          wfast=wfast),
-        grid=(n_blocks,),
+                          wfast=wfast, ilp=ilp),
+        grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=[
             pl.BlockSpec((s4rows, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cap_rows, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * cap_rows, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(sym4_rows, fc_rows, x0, stream2_rows)
@@ -477,7 +493,8 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
         x0, stream2 = prep_decode(jnp.asarray(buf), R, cap_rows, n_blocks)
         spk = decode_blocks(sym4_rows, fc_rows, x0, stream2, T4=T4, R=R,
                             sb=cfg.prob_bits, cap_rows=cap_rows,
-                            n_blocks=n_blocks, interpret=interpret)
+                            n_blocks=n_blocks, interpret=interpret,
+                            ilp=2 if n_blocks % 2 == 0 else 1)
         outs.append(np.asarray(unpack_symbols(spk, T4, R, n_blocks)))
 
     if n_full:
