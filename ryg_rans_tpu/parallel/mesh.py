@@ -86,7 +86,8 @@ def decode_blocks_sharded(mesh: Mesh, sym4_rows, fc_rows, x0, stream2, *,
     def body(s4, fc, x0l, stl):
         return word_tpu.decode_blocks(
             s4, fc, x0l, stl, T4=T4, R=R, sb=sb, cap_rows=cap_rows,
-            n_blocks=per, interpret=interpret)
+            n_blocks=per, interpret=interpret,
+            ilp=2 if per % 2 == 0 else 1)
 
     f = shard_map(body, mesh,
                   in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
