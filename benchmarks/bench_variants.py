@@ -33,7 +33,10 @@ def main():
         @functools.partial(jax.jit, static_argnames=("reps",))
         def many(x0s, st, reps: int):
             def one(c, i):
-                moved = tuple(x ^ (c & 0) for x in x0s)
+                # carry-dependent (not constant-foldable) input defeats
+                # loop-invariant hoisting of the decode (CLAUDE.md)
+                moved = tuple(jnp.where(c == jnp.int32(123456789), x ^ 1, x)
+                              for x in x0s)
                 out = fn(moved, st)
                 return c ^ out[0, 0], None
             c, _ = jax.lax.scan(one, jnp.int32(0), jnp.arange(reps))

@@ -45,8 +45,7 @@ def main():
         emit, xf = word_tpu.encode_blocks(enc_rows, spk, T4=T4, R=R, sb=12,
                                           n_blocks=NB)
         words, nw = word_tpu.compact_emissions(emit, xf, BS, NB)
-        cap_rows = (int(np.max(np.asarray(nw))) - 2 * N + N + 511) // 256
-        cap_rows = -(-cap_rows // 8) * 8
+        cap_rows = word_tpu.decode_cap_rows(int(np.max(np.asarray(nw))), R)
         x0, st = word_tpu.prep_decode(words, R, cap_rows, NB)
         jax.block_until_ready(st)
 
@@ -61,7 +60,7 @@ def main():
                 @functools.partial(jax.jit, static_argnames=("reps",))
                 def dec_many(x0, st, reps: int, _g=groups, _w=wfast):
                     def one(c, i):
-                        x0k = x0 + (c & 0)
+                        x0k = jnp.where(c == jnp.int32(123456789), x0 ^ 1, x0)
                         out = word_tpu.decode_blocks(
                             sym4, fcr, x0k, st, T4=T4, R=R, sb=12,
                             cap_rows=cap_rows, n_blocks=NB, groups=_g,

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RansConfig, Variant
 from ..models import alias as alias_mod
 from ..models import stats as stats_mod
+from . import host_prep
 from . import lanes
 
 L_BITS = 23  # rans_byte.h:50
@@ -56,15 +57,8 @@ def _use_bisect(sb: int) -> bool:
 
 
 def pack_byte_dec_tables(freqs, cum_freqs, sb: int):
-    """Two-level BYTE decode tables: cum2sym packed 4/int32 (M/512 rows) and
-    per-symbol (freq << 16) | cum rows (freq <= 2^14 at sb <= 14)."""
-    c2s = stats_mod.cum2sym(cum_freqs, sb).astype(np.uint32)
-    s4 = (c2s[0::4] | (c2s[1::4] << 8) | (c2s[2::4] << 16) | (c2s[3::4] << 24))
-    sym4_rows = s4.view(np.int32).reshape(-1, 128)
-    fc = (np.asarray(freqs, np.uint32) << 16) \
-        | np.asarray(cum_freqs[:256], np.uint32)
-    fc_rows = fc.view(np.int32).reshape(2, 128)
-    return sym4_rows, fc_rows
+    """Two-level BYTE decode tables (shared layout, ops/host_prep.py)."""
+    return host_prep.pack_sym4_fc(freqs, cum_freqs, sb)
 
 
 def pack_alias_dec_tables(freqs, cum_freqs, sb: int):
@@ -77,11 +71,8 @@ def pack_alias_dec_tables(freqs, cum_freqs, sb: int):
 
 
 def pack_enc_tables(freqs, cum_freqs) -> np.ndarray:
-    """Per-symbol ((freq-1) << 16) | cum as (2,128) int32 (freq-1 so the
-    ALIAS variant's freq <= 2^16 at prob_bits 16 still fits 16 bits)."""
-    f = np.maximum(np.asarray(freqs, np.uint32), 1) - 1
-    c = np.asarray(cum_freqs[:256], np.uint32)
-    return ((f << 16) | c).view(np.int32).reshape(2, 128)
+    """Per-symbol ((freq-1) << 16) | cum rows (shared, ops/host_prep.py)."""
+    return host_prep.pack_enc_fc_minus1(freqs, cum_freqs)
 
 
 def build_alias_segments(freqs, cum_freqs, sb: int):
@@ -425,14 +416,8 @@ def prep_decode(bytes_i32, R: int, cap_rows: int, n_blocks: int = 1):
 # ---------------------------------------------------------------------------
 
 
-def _default_interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _split_blocks(cfg: RansConfig, padded_size: int):
-    B = cfg.block_symbols
-    n_full = padded_size // B
-    return n_full, padded_size - n_full * B
+_default_interpret = host_prep.default_interpret
+_split_blocks = host_prep.split_blocks
 
 
 def dec_tables(cfg: RansConfig, freqs, cum_freqs):

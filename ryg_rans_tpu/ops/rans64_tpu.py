@@ -39,27 +39,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RansConfig, Variant
 from ..models import stats as stats_mod
+from . import host_prep
 from . import lanes
 
 L_BITS = 31  # rans64.h:59
 
 
 def pack_dec_tables(freqs, cum_freqs, sb: int):
-    """Two-level decode tables: cum2sym packed 4/int32 + (freq<<16|cum)."""
-    c2s = stats_mod.cum2sym(cum_freqs, sb).astype(np.uint32)
-    s4 = (c2s[0::4] | (c2s[1::4] << 8) | (c2s[2::4] << 16) | (c2s[3::4] << 24))
-    sym4_rows = s4.view(np.int32).reshape(-1, 128)
-    fc = (np.asarray(freqs, np.uint32) << 16) \
-        | np.asarray(cum_freqs[:256], np.uint32)
-    fc_rows = fc.view(np.int32).reshape(2, 128)
-    return sym4_rows, fc_rows
+    """Two-level decode tables (shared layout, ops/host_prep.py)."""
+    return host_prep.pack_sym4_fc(freqs, cum_freqs, sb)
 
 
 def pack_enc_tables(freqs, cum_freqs) -> np.ndarray:
-    """Per-symbol ((freq-1) << 16) | cum as (2,128) int32."""
-    f = np.maximum(np.asarray(freqs, np.uint32), 1) - 1
-    c = np.asarray(cum_freqs[:256], np.uint32)
-    return ((f << 16) | c).view(np.int32).reshape(2, 128)
+    """Per-symbol ((freq-1) << 16) | cum rows (shared, ops/host_prep.py)."""
+    return host_prep.pack_enc_fc_minus1(freqs, cum_freqs)
 
 
 def _supports(cfg: RansConfig):
@@ -108,11 +101,14 @@ def decode_cap_rows(max_words: int, R: int) -> int:
     return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8
 
 
-def _decode_kernel(sym4_ref, fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref,
-                   *, T4: int, R: int, sb: int, ilp: int = 1):
-    sym4 = sym4_ref[:]
-    fc = fc_ref[:]
+def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
     s4rows = (1 << sb) // 512
+    if s4rows > 16:  # bisect path needs no cum2sym table in VMEM
+        fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref = refs
+    else:
+        sym4_ref, fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref = refs
+        sym4 = sym4_ref[:]
+    fc = fc_ref[:]
     tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
            ).astype(jnp.float32)
@@ -193,13 +189,16 @@ def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
     if n_blocks % ilp:
         raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
     s4rows = (1 << sb) // 512
+    bisect = s4rows > 16
+    tab_specs = [] if bisect else [
+        pl.BlockSpec((s4rows, 128), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM)]
+    tab_args = [] if bisect else [sym4_rows]
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, ilp=ilp),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
-        in_specs=[
-            pl.BlockSpec((s4rows, 128), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=tab_specs + [
             pl.BlockSpec((2, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
@@ -212,7 +211,7 @@ def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows)
+    )(*tab_args, fc_rows, x0_lo, x0_hi, stream_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -352,14 +351,8 @@ def prep_decode(words_i32, R: int, cap_rows: int, n_blocks: int = 1):
 # ---------------------------------------------------------------------------
 
 
-def _default_interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _split_blocks(cfg: RansConfig, padded_size: int):
-    B = cfg.block_symbols
-    n_full = padded_size // B
-    return n_full, padded_size - n_full * B
+_default_interpret = host_prep.default_interpret
+_split_blocks = host_prep.split_blocks
 
 
 def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,

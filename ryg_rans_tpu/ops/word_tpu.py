@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RansConfig, Variant
 from ..models import tables as tables_mod
+from . import host_prep
 from . import lanes
 
 # ---------------------------------------------------------------------------
@@ -60,17 +61,9 @@ def pack_dec_rows2(freqs, cum_freqs, scale_bits: int):
     Level 2: per-symbol (freq << 16) | cum -> (2, 128) rows.
     The decoder recovers bias as slot - cum[sym] instead of storing it
     (rans_word_sse41.h:64-72 bakes bias per slot; recomputing trades one
-    subtract for 3x fewer gather rows).
+    subtract for 3x fewer gather rows).  Shared layout: ops/host_prep.py.
     """
-    from ..models import stats as stats_mod
-    c2s = stats_mod.cum2sym(cum_freqs, scale_bits).astype(np.uint32)
-    s4 = (c2s[0::4] | (c2s[1::4] << 8) | (c2s[2::4] << 16)
-          | (c2s[3::4] << 24))
-    sym4_rows = s4.view(np.int32).reshape(-1, 128)
-    fc = (np.asarray(freqs, np.uint32) << 16) \
-        | np.asarray(cum_freqs[:256], np.uint32)
-    fc_rows = fc.view(np.int32).reshape(2, 128)
-    return sym4_rows, fc_rows
+    return host_prep.pack_sym4_fc(freqs, cum_freqs, scale_bits)
 
 
 def pack_enc_rows(freqs, cum_freqs, scale_bits: int) -> np.ndarray:

@@ -44,7 +44,10 @@ def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
     if n_devices is not None and len(devices) < n_devices:
         # Default backend too small (e.g. one real chip): fall back to the
         # virtual CPU device set (xla_force_host_platform_device_count).
-        devices = jax.devices("cpu")
+        try:
+            devices = jax.devices("cpu")
+        except RuntimeError:
+            pass  # no CPU backend either; fall through to the clear error
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(

@@ -86,7 +86,7 @@ def test_byte_renorm_worst_case(rng):
     """A skewed model exercising the 2-bytes-per-symbol renorm path: rare
     symbols (freq 1 at prob_bits 14) force maximal emission."""
     cfg = RansConfig(variant=Variant.BYTE, prob_bits=14, n_lanes=128,
-                     lanes_per_stream=128, block_symbols=4096)
+                     lanes_per_stream=128, block_symbols=8192)
     # heavily skewed: mostly symbol 0, occasional rare bytes
     data = np.zeros(8192, np.uint8)
     ridx = rng.integers(0, data.size, 300)
@@ -95,11 +95,8 @@ def test_byte_renorm_worst_case(rng):
     blocks, padded_size = byte_tpu.encode(cfg, data, freqs, cum,
                                           interpret=True)
     ref = oracle.encode(cfg, data, freqs, cum)[0]
-    got = np.concatenate(blocks) if len(blocks) == 1 else None
-    # block-split sizes differ from single-stream oracle only when multiple
-    # blocks; here block_symbols=4096 and padded 8192 -> 2 blocks, so just
-    # round-trip instead of byte-compare
+    assert len(blocks) == 1
+    assert np.array_equal(blocks[0], ref)
     dec = byte_tpu.decode(cfg, blocks, padded_size, freqs, cum,
                           interpret=True)
     assert np.array_equal(dec[:data.size], data)
-    assert got is None or np.array_equal(got, ref)
