@@ -171,3 +171,110 @@ def decompress(blob, backend: str = "auto") -> bytes:
             if cont.crc32(out[off:end]) != int(c.crcs[b]):
                 raise ValueError(f"crc mismatch in block {b}")
     return out.tobytes()
+
+
+def decompress_to_device(blob):
+    """Decode a TRNS container directly into a device-resident uint8 array.
+
+    For pipelines that consume decompressed data on-chip (e.g. datasets,
+    checkpointed activations): container parsing happens on host, then ONE
+    device transfer of the packed streams and ONE fused jit (prep -> Pallas
+    kernel -> unpack) produce the symbols on device -- no host round-trip
+    for the data itself.  Requires a TPU-kernel-supported config; the
+    padding tail beyond orig_len is sliced off on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    c = cont.unpack(blob)
+    cfg = c.cfg
+    if not _tpu_supported(cfg):
+        raise ValueError("config not supported by the TPU kernel path; "
+                         "use decompress() instead")
+    freqs = c.freqs
+    cum = stats.calc_cum_freqs(freqs)
+    interpret = not _tpu_live()
+    mod = _tpu_mod(cfg)
+    R = cfg.n_lanes // 128
+    N = cfg.n_lanes
+    sizes = c.block_sizes()
+    blocks = [blk[0] for blk in c.payloads]
+
+    if cfg.variant == Variant.WORD:
+        s4, fc = mod.pack_dec_rows2(freqs, cum, cfg.prob_bits)
+        tables = (jnp.asarray(s4), jnp.asarray(fc))
+    elif cfg.variant == Variant.RANS64:
+        s4, fc = mod.pack_dec_tables(freqs, cum, cfg.prob_bits)
+        tables = (jnp.asarray(s4), jnp.asarray(fc))
+    else:
+        tables = mod.dec_tables(cfg, freqs, cum)
+
+    outs = []
+    n_full = sum(1 for s in sizes if s == cfg.block_symbols)
+    groups = [(blocks[:n_full], cfg.block_symbols)] if n_full else []
+    if n_full < len(blocks):
+        groups.append((blocks[n_full:], sizes[-1]))
+    for blks, block_syms in groups:
+        nb = len(blks)
+        T4 = block_syms // N // 4
+        max_units = max(b.size for b in blks)
+        cap_rows = mod.decode_cap_rows(max_units, R)
+        buf = np.zeros((nb, max_units), np.int32)
+        for i, b in enumerate(blks):
+            buf[i, :b.size] = b.astype(np.int64).astype(np.int32) \
+                if b.dtype != np.uint32 else b.view(np.int32)
+        ilp = 2 if nb % 2 == 0 else 1
+        if cfg.variant == Variant.WORD or cfg.variant == Variant.RANS64:
+            out = mod.decode_fused(*tables, jnp.asarray(buf), T4=T4, R=R,
+                                   sb=cfg.prob_bits, cap_rows=cap_rows,
+                                   n_blocks=nb, interpret=interpret, ilp=ilp)
+        else:
+            out = mod.decode_fused(tables, jnp.asarray(buf), T4=T4, R=R,
+                                   sb=cfg.prob_bits, cap_rows=cap_rows,
+                                   n_blocks=nb,
+                                   alias=cfg.variant == Variant.ALIAS,
+                                   interpret=interpret, ilp=ilp)
+        outs.append(out)
+    full = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return full[:c.orig_len]
+
+
+def decompress_block(blob, block: int, backend: str = "auto") -> bytes:
+    """Random-access decode of ONE block from a TRNS container.
+
+    Blocks are independent (no shared coder state, SURVEY.md §2.8:
+    chip/host parallelism is pure data-parallelism over blocks), so any
+    block decodes without touching the others' payload -- the capability
+    the reference's single self-contained stream cannot offer.  Returns
+    that block's original bytes (the last block may be short).
+    """
+    c = cont.unpack(blob)
+    cfg = c.cfg
+    sizes = c.block_sizes()
+    if not 0 <= block < len(sizes):
+        raise IndexError(f"block {block} out of range [0, {len(sizes)})")
+    off = block * cfg.block_symbols
+    if off >= c.orig_len:
+        return b""
+    freqs = c.freqs
+    cum = stats.calc_cum_freqs(freqs)
+    be = _pick_backend(cfg, backend)
+    size = sizes[block]
+    blk = c.payloads[block]
+    if be == "tpu":
+        out = _tpu_mod(cfg).decode(cfg, [blk[0]], size, freqs, cum,
+                                   interpret=not _tpu_live())
+    elif be == "native":
+        payload = np.concatenate(
+            [s.view(np.uint8) for s in blk]) if blk else np.zeros(0, np.uint8)
+        words = np.array([s.size for s in blk], np.int64)
+        out = native.decode(cfg, payload, words, size, freqs, cum)
+    elif be == "numpy":
+        out = oracle.decode(cfg, blk, size, freqs, cum)
+    else:
+        raise ValueError(f"unknown backend {be!r}")
+    end = min(off + size, c.orig_len)
+    out = out[:end - off]
+    if c.crcs is not None and cont.crc32(out) != int(c.crcs[block]):
+        raise ValueError(f"crc mismatch in block {block}")
+    return out.tobytes()

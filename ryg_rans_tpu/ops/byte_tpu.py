@@ -411,6 +411,23 @@ def prep_decode(bytes_i32, R: int, cap_rows: int, n_blocks: int = 1):
     return x0, packed.reshape(n_blocks * cap_rows, 128)
 
 
+
+
+@functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
+                                             "n_blocks", "alias", "interpret",
+                                             "ilp"))
+def decode_fused(tables, buf_i32, *, T4: int, R: int, sb: int, cap_rows: int,
+                 n_blocks: int, alias: bool, interpret: bool = False,
+                 ilp: int = 1):
+    """One fused jit: stream prep -> kernel -> symbol unpack (device out)."""
+    from . import word_tpu
+    x0, stream4 = prep_decode(buf_i32, R, cap_rows, n_blocks)
+    spk = decode_blocks(tables, x0, stream4, T4=T4, R=R, sb=sb,
+                        cap_rows=cap_rows, n_blocks=n_blocks, alias=alias,
+                        interpret=interpret, ilp=ilp)
+    return word_tpu.unpack_symbols(spk, T4, R, n_blocks)
+
+
 # ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------

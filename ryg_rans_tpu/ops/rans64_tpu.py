@@ -346,6 +346,22 @@ def prep_decode(words_i32, R: int, cap_rows: int, n_blocks: int = 1):
     return x0_lo, x0_hi, body.reshape(n_blocks * cap_rows, 128)
 
 
+
+
+@functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
+                                             "n_blocks", "interpret", "ilp"))
+def decode_fused(sym4_rows, fc_rows, buf_i32, *, T4: int, R: int, sb: int,
+                 cap_rows: int, n_blocks: int, interpret: bool = False,
+                 ilp: int = 1):
+    """One fused jit: stream prep -> kernel -> symbol unpack (device out)."""
+    from . import word_tpu
+    x0_lo, x0_hi, stream = prep_decode(buf_i32, R, cap_rows, n_blocks)
+    spk = decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream, T4=T4,
+                        R=R, sb=sb, cap_rows=cap_rows, n_blocks=n_blocks,
+                        interpret=interpret, ilp=ilp)
+    return word_tpu.unpack_symbols(spk, T4, R, n_blocks)
+
+
 # ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------

@@ -105,3 +105,50 @@ def test_tpu_backend_container_matches_numpy(book1_head, variant):
     assert blob_np == blob_tpu
     assert api.decompress(blob_tpu, backend="tpu") == data
     assert api.decompress(blob_np, backend="tpu") == data
+
+
+def test_decompress_block_random_access(book1_head):
+    data = book1_head[:30000].tobytes()
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=64,
+                     lanes_per_stream=64, block_symbols=4096)
+    blob = api.compress(data, cfg, backend="numpy")
+    n_blocks = len(cont.unpack(blob).payloads)
+    got = b"".join(api.decompress_block(blob, b, backend="numpy")
+                   for b in range(n_blocks))
+    assert got == data
+    # out-of-order single-block access
+    assert api.decompress_block(blob, 3, backend="numpy") \
+        == data[3 * 4096:4 * 4096]
+    with pytest.raises(IndexError):
+        api.decompress_block(blob, n_blocks, backend="numpy")
+
+
+def test_decompress_block_crc(book1_head):
+    data = book1_head[:10000].tobytes()
+    cfg = RansConfig(variant=Variant.BYTE, prob_bits=14, n_lanes=64,
+                     lanes_per_stream=64, block_symbols=4096)
+    blob = bytearray(api.compress(data, cfg, backend="numpy"))
+    # corrupt the last block's flushed-state head (its payload sits at the
+    # container's end; a tail-pad byte would be sliced off and pass CRC)
+    last_payload = int(cont.unpack(bytes(blob)).stream_words[-1, 0])
+    blob[len(blob) - last_payload + 3] ^= 0x10
+    n_blocks = len(cont.unpack(bytes(blob)).payloads)
+    assert api.decompress_block(bytes(blob), 0, backend="numpy") \
+        == data[:4096]
+    with pytest.raises(ValueError, match="crc"):
+        api.decompress_block(bytes(blob), n_blocks - 1, backend="numpy")
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_decompress_to_device(book1_head, variant):
+    import numpy as np
+    from ryg_rans_tpu.config import DEFAULT_PROB_BITS
+    pb = DEFAULT_PROB_BITS[variant]
+    if variant == Variant.RANS64:
+        pb = min(pb, 15)
+    cfg = RansConfig(variant=variant, prob_bits=pb, n_lanes=1024,
+                     lanes_per_stream=1024, block_symbols=8192)
+    data = book1_head[:20000].tobytes()
+    blob = api.compress(data, cfg, backend="numpy")
+    out = api.decompress_to_device(blob)
+    assert bytes(np.asarray(out).tobytes()) == data
