@@ -32,7 +32,7 @@ def _tpu_live() -> bool:
 
 
 #: max prob_bits per variant on the TPU kernel path
-_TPU_MAX_PB = {Variant.WORD: 12, Variant.BYTE: 14, Variant.ALIAS: 16,
+_TPU_MAX_PB = {Variant.WORD: 15, Variant.BYTE: 14, Variant.ALIAS: 16,
                Variant.RANS64: 15}
 
 

@@ -67,8 +67,11 @@ def pack_dec_rows2(freqs, cum_freqs, scale_bits: int):
 
 
 def pack_enc_rows(freqs, cum_freqs, scale_bits: int) -> np.ndarray:
-    """Per-symbol encode table (freq << 16) | start as (2,128) int32."""
-    assert scale_bits <= 16
+    """Per-symbol encode table (freq << 16) | start as (2,128) int32.
+
+    scale_bits <= 15 keeps freq (<= 2^15) exact in the 16-bit field even
+    for the degenerate single-symbol model."""
+    assert scale_bits <= 15
     f = np.asarray(freqs, np.uint32)
     c = np.asarray(cum_freqs[:256], np.uint32)
     packed = (f << 16) | c
@@ -78,9 +81,10 @@ def pack_enc_rows(freqs, cum_freqs, scale_bits: int) -> np.ndarray:
 def _supports(cfg: RansConfig):
     if cfg.variant != Variant.WORD:
         raise ValueError("word_tpu handles the WORD variant")
-    if not 9 <= cfg.prob_bits <= 12:
-        raise ValueError("TPU word kernel needs 9 <= prob_bits <= 12 "
-                         "(packed 12-bit slot fields, 128-wide sym4 rows)")
+    if not 9 <= cfg.prob_bits <= 15:
+        raise ValueError("TPU word kernel needs 9 <= prob_bits <= 15 "
+                         "(the reference fixes 12, rans_word_sse41.h:37; "
+                         "15 keeps freq<<16 packing exact)")
     if cfg.n_lanes % 128 or cfg.n_lanes < 128:
         raise ValueError("TPU word kernel needs n_lanes to be a multiple of 128")
     # Compiled multi-block grids slice (R,128)-row blocks, and Mosaic requires
@@ -111,8 +115,7 @@ def decode_cap_rows(max_words: int, R: int) -> int:
     return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8
 
 
-def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
-                   T4: int, R: int, sb: int, groups: int = 1,
+def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
                    wfast: int = 0, ilp: int = 1):
     """Decode one block: 4*T4 steps over (R,128) lanes.
 
@@ -124,13 +127,17 @@ def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
       ~0.28 words/lane consumption) and falls back to the full worst-case
       span inside a rarely-taken lax.cond.
     """
-    sym4 = sym4_ref[:]
+    s4rows = (1 << sb) // 512
+    if s4rows > 16:  # bisect path needs no cum2sym table in VMEM
+        fc_ref, x0_ref, stream2_ref, out_ref = refs
+    else:
+        sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref = refs
+        sym4 = sym4_ref[:]
     fc = fc_ref[:]
     tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
            ).astype(jnp.float32)
     M1 = (1 << sb) - 1
-    s4rows = (1 << sb) // 512
     WMAX = wmax_rows(R)       # worst-case pair-rows a step can touch
     # Legacy sweep fast-path span (wfast > 0 only); the default monotone
     # MXU fetch always covers WMAX exactly.
@@ -140,9 +147,15 @@ def _decode_kernel(sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref, *,
 
     def substep(x, base, spk, k, woff):
         slot = x & M1
-        # two-level symbol lookup
-        s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows, (R, 128))
-        sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
+        if s4rows > 16:
+            # binary search on cum beats the 4-packed cum2sym sweep once
+            # the slot table exceeds 16 rows (prob_bits >= 14)
+            sym = lanes.cum2sym_bisect(fc, slot, (R, 128))
+        else:
+            # two-level symbol lookup
+            s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
+                                    (R, 128))
+            sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
         e = lanes.table_lookup(fc, sym, 2, (R, 128))
         freq = lanes.srl(e, 16)
         cumv = e & 0xFFFF
@@ -234,14 +247,17 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
     if n_blocks % ilp:
         raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
     s4rows = (1 << sb) // 512
+    bisect = s4rows > 16
+    tab_specs = [] if bisect else [
+        pl.BlockSpec((s4rows, 128), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM)]
+    tab_args = [] if bisect else [sym4_rows]
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, groups=groups,
                           wfast=wfast, ilp=ilp),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
-        in_specs=[
-            pl.BlockSpec((s4rows, 128), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=tab_specs + [
             pl.BlockSpec((2, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
@@ -252,7 +268,7 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(sym4_rows, fc_rows, x0, stream2_rows)
+    )(*tab_args, fc_rows, x0, stream2_rows)
 
 
 # ---------------------------------------------------------------------------

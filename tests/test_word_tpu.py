@@ -103,3 +103,19 @@ def test_mulhi32(rng):
     bi = jnp.asarray(b.astype(np.uint32).view(np.int32).reshape(8, 128))
     got = np.asarray(lanes.mulhi32(ai, bi)).reshape(-1).astype(np.uint32)
     assert np.array_equal(got, hi)
+
+
+@pytest.mark.parametrize("pb", [14, 15])
+def test_word_high_precision_roundtrip(book1_head, pb):
+    """prob_bits beyond the reference's fixed 12 (bisect lookup path)."""
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=pb, n_lanes=128,
+                     lanes_per_stream=128, block_symbols=4096)
+    data = book1_head[:8192]
+    freqs, cum = stats.build_model(data, pb)
+    blocks, padded_size = word_tpu.encode(cfg, data, freqs, cum,
+                                          interpret=True)
+    ref = oracle.encode(cfg, data[:4096], freqs, cum)[0]
+    assert np.array_equal(blocks[0], ref)
+    dec = word_tpu.decode(cfg, blocks, padded_size, freqs, cum,
+                          interpret=True)
+    assert np.array_equal(dec[:data.size], data)
