@@ -47,7 +47,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_multihost_roundtrip(tmp_path):
     repo = str(pathlib.Path(__file__).resolve().parent.parent)
     script = tmp_path / "worker.py"
