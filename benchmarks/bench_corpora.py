@@ -1,0 +1,94 @@
+"""Decode throughput across data distributions (entropy robustness).
+
+The monotone window fetch costs the same regardless of renorm density, so
+decode speed should be nearly flat from near-zero-entropy to random bytes
+-- unlike sweep-based designs whose stream routing scales with consumption.
+Run: `python benchmarks/bench_corpora.py`.
+"""
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ryg_rans_tpu.config import RansConfig, Variant
+    from ryg_rans_tpu.models import stats
+    from ryg_rans_tpu.ops import word_tpu
+
+    book1 = np.frombuffer(open("/root/reference/book1", "rb").read(),
+                          np.uint8)
+    R, NB, BS = 64, 32, 1 << 19
+    N = R * 128
+    SYMS = NB * BS
+    rng = np.random.default_rng(1)
+
+    corpora = {
+        "book1 (4.53 b/B)": np.tile(book1, (SYMS // book1.size) + 1)[:SYMS],
+        "random (8.00 b/B)": rng.integers(0, 256, SYMS, dtype=np.uint8),
+        "gaussian (~5.6 b/B)": rng.normal(128, 12, SYMS).clip(0, 255)
+        .astype(np.uint8),
+        "skewed (~0.7 b/B)": np.where(rng.random(SYMS) < 0.03,
+                                      rng.integers(1, 256, SYMS),
+                                      0).astype(np.uint8),
+    }
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=N,
+                     lanes_per_stream=N, block_symbols=BS)
+    T4 = BS // N // 4
+
+    for name, data in corpora.items():
+        freqs, cum = stats.build_model(data, cfg.prob_bits)
+        s4, fc = word_tpu.pack_dec_rows2(freqs, cum, cfg.prob_bits)
+        sym4, fcr = jnp.asarray(s4), jnp.asarray(fc)
+        blocks, _ = word_tpu.encode(cfg, data, freqs, cum, interpret=False)
+        cap = word_tpu.decode_cap_rows(max(b.size for b in blocks), R)
+        buf = np.zeros((NB, max(b.size for b in blocks)), np.int32)
+        for i, b in enumerate(blocks):
+            buf[i, :b.size] = b.astype(np.int32)
+        x0, st = word_tpu.prep_decode(jnp.asarray(buf), R, cap, NB)
+        jax.block_until_ready(st)
+
+        out = word_tpu.decode_blocks(sym4, fcr, x0, st, T4=T4, R=R,
+                                     sb=cfg.prob_bits, cap_rows=cap,
+                                     n_blocks=NB, ilp=2)
+        ok = np.array_equal(
+            np.asarray(word_tpu.unpack_symbols(out, T4, R, NB)), data)
+
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def many(x0, st, reps: int):
+            def one(c, i):
+                x0c = jnp.where(c == jnp.int32(123456789), x0 ^ 1, x0)
+                o = word_tpu.decode_blocks(sym4, fcr, x0c, st, T4=T4, R=R,
+                                           sb=cfg.prob_bits, cap_rows=cap,
+                                           n_blocks=NB, ilp=2)
+                return c ^ o[0, 0], None
+            c, _ = jax.lax.scan(one, jnp.int32(0), jnp.arange(reps))
+            return c
+
+        def run(reps):
+            r = many(x0, st, reps)
+            jax.block_until_ready(r)
+            t0 = time.perf_counter()
+            r = many(x0, st, reps)
+            jax.block_until_ready(r)
+            return time.perf_counter() - t0
+
+        run(2), run(10)
+        a = min(run(2) for _ in range(3))
+        b = min(run(10) for _ in range(3))
+        gbs = SYMS / ((b - a) / 8) / 1e9
+        payload = sum(bb.size * 2 for bb in blocks)
+        print(f"{name:22s} decode {gbs:6.3f} GB/s  payload {payload/2**20:6.2f}"
+              f" MiB  roundtrip={'ok' if ok else 'FAIL'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
