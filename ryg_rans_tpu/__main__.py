@@ -15,6 +15,7 @@ reproducing the reference's printout shape for comparability.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -54,26 +55,28 @@ def _add_codec_flags(p: argparse.ArgumentParser):
 
 
 def cmd_compress(args) -> int:
-    data = open(args.input, "rb").read()
+    from .utils import stream_io
     cfg = _cfg_from_args(args)
+    n_in = os.path.getsize(args.input)
     t0 = time.perf_counter()
-    blob = api.compress(data, cfg, backend=args.backend)
+    n_out = stream_io.compress_file(args.input, args.output, cfg,
+                                    backend=args.backend)
     dt = time.perf_counter() - t0
-    open(args.output, "wb").write(blob)
-    print(f"{len(data)} -> {len(blob)} bytes "
-          f"({8 * len(blob) / max(len(data), 1):.3f} bits/byte) "
-          f"in {dt * 1e3:.1f} ms ({len(data) / dt / 1048576:.1f} MiB/s)")
+    print(f"{n_in} -> {n_out} bytes "
+          f"({8 * n_out / max(n_in, 1):.3f} bits/byte) "
+          f"in {dt * 1e3:.1f} ms ({n_in / dt / 1048576:.1f} MiB/s)")
     return 0
 
 
 def cmd_decompress(args) -> int:
-    blob = open(args.input, "rb").read()
+    from .utils import stream_io
+    n_in = os.path.getsize(args.input)
     t0 = time.perf_counter()
-    data = api.decompress(blob, backend=args.backend)
+    n_out = stream_io.decompress_file(args.input, args.output,
+                                      backend=args.backend)
     dt = time.perf_counter() - t0
-    open(args.output, "wb").write(data)
-    print(f"{len(blob)} -> {len(data)} bytes in {dt * 1e3:.1f} ms "
-          f"({len(data) / dt / 1048576:.1f} MiB/s)")
+    print(f"{n_in} -> {n_out} bytes in {dt * 1e3:.1f} ms "
+          f"({n_out / dt / 1048576:.1f} MiB/s)")
     return 0
 
 

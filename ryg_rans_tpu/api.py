@@ -83,6 +83,58 @@ def _block_slices(cfg: RansConfig, padded_len: int):
         off += min(B, padded_len - off)
 
 
+def _encode_payloads(cfg: RansConfig, be: str, padded: np.ndarray,
+                     freqs, cum) -> list[list[np.ndarray]]:
+    """Encode a padded symbol array (multiple of 4*n_lanes) into
+    per-block, per-substream word arrays on the given backend."""
+    if be == "tpu":
+        blocks, _ = _tpu_mod(cfg).encode(cfg, padded, freqs, cum,
+                                         interpret=not _tpu_live())
+        return [[b] for b in blocks]
+    payloads: list[list[np.ndarray]] = []
+    for off, size in _block_slices(cfg, padded.size):
+        chunk = padded[off:off + size]
+        if be == "native":
+            payload, words = native.encode(cfg, chunk, freqs, cum)
+            splits = np.cumsum(
+                words * np.dtype(cont.word_dtype(cfg.variant)).itemsize)
+            wdt = cont.word_dtype(cfg.variant)
+            blk = [payload[(splits[i - 1] if i else 0):splits[i]].view(wdt)
+                   for i in range(len(words))]
+        elif be == "numpy":
+            blk = oracle.encode(cfg, chunk, freqs, cum)
+        else:
+            raise ValueError(f"unknown backend {be!r}")
+        payloads.append(blk)
+    return payloads
+
+
+def _decode_payloads(cfg: RansConfig, be: str, payloads, sizes, freqs,
+                     cum) -> list[np.ndarray]:
+    """Decode per-block payloads (padded sizes in ``sizes``, the usual
+    [B, ..., B, tail] pattern) into per-block symbol arrays."""
+    if be == "tpu":
+        blocks = [blk[0] for blk in payloads]
+        out = _tpu_mod(cfg).decode(cfg, blocks, int(sum(sizes)), freqs, cum,
+                                   interpret=not _tpu_live())
+        bounds = np.cumsum(sizes)[:-1]
+        return np.split(out, bounds)
+    parts = []
+    for blk, size in zip(payloads, sizes):
+        if be == "native":
+            payload = np.concatenate(
+                [s.view(np.uint8) for s in blk]) if blk else np.zeros(
+                    0, np.uint8)
+            words = np.array([s.size for s in blk], np.int64)
+            parts.append(native.decode(cfg, payload, words, size, freqs,
+                                       cum))
+        elif be == "numpy":
+            parts.append(oracle.decode(cfg, blk, size, freqs, cum))
+        else:
+            raise ValueError(f"unknown backend {be!r}")
+    return parts
+
+
 def compress(data, cfg: RansConfig | None = None,
              backend: str = "auto") -> bytes:
     """Compress bytes/uint8 array -> TRNS container bytes."""
@@ -96,28 +148,8 @@ def compress(data, cfg: RansConfig | None = None,
     be = _pick_backend(cfg, backend)
     padded = _pad(data, cfg, freqs)
 
-    payloads: list[list[np.ndarray]] = []
     crcs = [] if cfg.checksum else None
-
-    if be == "tpu":
-        blocks, _ = _tpu_mod(cfg).encode(cfg, padded, freqs, cum,
-                                         interpret=not _tpu_live())
-        payloads = [[b] for b in blocks]
-    else:
-        for off, size in _block_slices(cfg, padded.size):
-            chunk = padded[off:off + size]
-            if be == "native":
-                payload, words = native.encode(cfg, chunk, freqs, cum)
-                splits = np.cumsum(
-                    words * np.dtype(cont.word_dtype(cfg.variant)).itemsize)
-                wdt = cont.word_dtype(cfg.variant)
-                blk = [payload[(splits[i - 1] if i else 0):splits[i]].view(wdt)
-                       for i in range(len(words))]
-            elif be == "numpy":
-                blk = oracle.encode(cfg, chunk, freqs, cum)
-            else:
-                raise ValueError(f"unknown backend {be!r}")
-            payloads.append(blk)
+    payloads = _encode_payloads(cfg, be, padded, freqs, cum)
 
     if cfg.checksum:
         for off, size in _block_slices(cfg, padded.size):
@@ -139,26 +171,8 @@ def decompress(blob, backend: str = "auto") -> bytes:
     be = _pick_backend(cfg, backend)
 
     sizes = c.block_sizes()
-    if be == "tpu":
-        blocks = [blk[0] for blk in c.payloads]
-        out = _tpu_mod(cfg).decode(cfg, blocks, c.padded_len, freqs, cum,
-                                   interpret=not _tpu_live())
-    else:
-        parts = []
-        for b, size in enumerate(sizes):
-            blk = c.payloads[b]
-            if be == "native":
-                payload = np.concatenate(
-                    [s.view(np.uint8) for s in blk]) if blk else np.zeros(
-                        0, np.uint8)
-                words = np.array([s.size for s in blk], np.int64)
-                parts.append(native.decode(cfg, payload, words, size, freqs,
-                                           cum))
-            elif be == "numpy":
-                parts.append(oracle.decode(cfg, blk, size, freqs, cum))
-            else:
-                raise ValueError(f"unknown backend {be!r}")
-        out = np.concatenate(parts)
+    out = np.concatenate(
+        _decode_payloads(cfg, be, c.payloads, sizes, freqs, cum))
 
     out = out[:c.orig_len]
     if c.crcs is not None:

@@ -93,6 +93,13 @@ def build_model(data: np.ndarray, prob_bits: int) -> tuple[np.ndarray, np.ndarra
     return normalize_freqs(count_freqs(data), 1 << prob_bits)
 
 
+def build_model_from_counts(counts: np.ndarray,
+                            prob_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """normalize a precomputed 256-bin histogram (streaming/sharded model
+    building) -> (freqs, cum_freqs)."""
+    return normalize_freqs(np.asarray(counts, np.uint64), 1 << prob_bits)
+
+
 def cum2sym(cum_freqs: np.ndarray, prob_bits: int) -> np.ndarray:
     """Linear slot->symbol table (main.cpp:145-148), vectorized.
 

@@ -76,26 +76,64 @@ def word_dtype(variant: Variant):
             Variant.RANS64: np.uint32, Variant.ALIAS: np.uint8}[variant]
 
 
-def pack(cfg: RansConfig, orig_len: int, freqs: np.ndarray,
-         payloads: list[list[np.ndarray]],
-         crcs: np.ndarray | None = None) -> bytes:
-    n_blocks = len(payloads)
+def pack_header(cfg: RansConfig, orig_len: int, freqs: np.ndarray,
+                stream_words: np.ndarray,
+                crcs: np.ndarray | None = None) -> bytes:
+    """Everything before the payload bytes (header + freqs + per-substream
+    word counts + optional CRCs); used by the streaming writer."""
+    n_blocks = stream_words.shape[0] if stream_words.size else 0
     flags = FLAG_CRC if crcs is not None else 0
     head = _HEADER.pack(
         MAGIC, VERSION, int(cfg.variant), cfg.prob_bits,
         cfg.n_lanes.bit_length() - 1, cfg.lanes_per_stream.bit_length() - 1,
         flags, 0, n_blocks, orig_len, cfg.block_symbols, 0)
-    parts = [head, np.asarray(freqs, np.uint32).tobytes()]
-    counts = np.array(
-        [[s.size for s in blk] for blk in payloads], np.uint32)
-    parts.append(counts.tobytes())
+    parts = [head, np.asarray(freqs, np.uint32).tobytes(),
+             np.asarray(stream_words, np.uint32).tobytes()]
     if crcs is not None:
         parts.append(np.asarray(crcs, np.uint32).tobytes())
+    return b"".join(parts)
+
+
+def pack(cfg: RansConfig, orig_len: int, freqs: np.ndarray,
+         payloads: list[list[np.ndarray]],
+         crcs: np.ndarray | None = None) -> bytes:
+    counts = np.array(
+        [[s.size for s in blk] for blk in payloads], np.uint32)
+    parts = [pack_header(cfg, orig_len, freqs, counts, crcs)]
     wdt = word_dtype(cfg.variant)
     for blk in payloads:
         for s in blk:
             parts.append(np.ascontiguousarray(s, wdt).tobytes())
     return b"".join(parts)
+
+
+def read_header(f) -> tuple["Container", int]:
+    """Parse header/freqs/counts/CRCs from a file object positioned at 0;
+    returns (Container with empty payloads, payload byte offset)."""
+    head = f.read(_HEADER.size)
+    if len(head) < _HEADER.size:
+        raise ValueError("container truncated")
+    (magic, version, variant, prob_bits, log_lanes, log_lpg, flags, _rsv,
+     n_blocks, orig_len, block_symbols, _rsv2) = _HEADER.unpack(head)
+    if magic != MAGIC:
+        raise ValueError("not a TRNS container")
+    if version != VERSION:
+        raise ValueError(f"unsupported container version {version}")
+    cfg = RansConfig(
+        variant=Variant(variant), prob_bits=prob_bits,
+        n_lanes=1 << log_lanes, lanes_per_stream=1 << log_lpg,
+        block_symbols=block_symbols, checksum=bool(flags & FLAG_CRC))
+    freqs = np.frombuffer(f.read(4 * NSYMS), np.uint32).copy()
+    ns = cfg.n_streams
+    counts = np.frombuffer(f.read(4 * n_blocks * ns),
+                           np.uint32).reshape(n_blocks, ns).copy()
+    crcs = None
+    off = _HEADER.size + 4 * NSYMS + 4 * n_blocks * ns
+    if flags & FLAG_CRC:
+        crcs = np.frombuffer(f.read(4 * n_blocks), np.uint32).copy()
+        off += 4 * n_blocks
+    return Container(cfg=cfg, orig_len=orig_len, freqs=freqs,
+                     stream_words=counts, crcs=crcs, payloads=[]), off
 
 
 def unpack(blob: bytes | memoryview) -> Container:
