@@ -94,8 +94,18 @@ def enc_put(x, sym, freqs, cum_freqs, spec: VariantSpec, scale_bits: int):
     u = _u(spec)
     f = jnp.asarray(freqs, u)[sym]
     start = jnp.asarray(cum_freqs[:NSYMS], u)[sym]
+    return enc_put_raw(x, start, f, spec, scale_bits)
+
+
+def enc_put_raw(x, start, freq, spec: VariantSpec, scale_bits: int):
+    """enc_put with explicit per-lane (start, freq) -- the reference's
+    actual RansEncPut signature (rans_byte.h:83), for callers driving a
+    custom model rather than the 256-symbol tables."""
+    u = _u(spec)
+    f = freq.astype(u) if hasattr(freq, "astype") else u(freq)
+    s = start.astype(u) if hasattr(start, "astype") else u(start)
     x, words, k = enc_renorm(x, f, spec, scale_bits)
-    x = ((x // f) << u(scale_bits)) + (x % f) + start
+    x = ((x // f) << u(scale_bits)) + (x % f) + s
     return x, words, k
 
 
