@@ -56,13 +56,18 @@ def _tpu_supported(cfg: RansConfig) -> bool:
 
 
 def _pick_backend(cfg: RansConfig, backend: str) -> str:
+    from .utils.log import backend_choice
+
     if backend != "auto":
-        return backend
-    if _tpu_supported(cfg) and _tpu_live():
-        return "tpu"
-    if native.available():
-        return "native"
-    return "numpy"
+        chosen = backend
+    elif _tpu_supported(cfg) and _tpu_live():
+        chosen = "tpu"
+    elif native.available():
+        chosen = "native"
+    else:
+        chosen = "numpy"
+    backend_choice(cfg, backend, chosen)
+    return chosen
 
 
 def _pad(data: np.ndarray, cfg: RansConfig, freqs) -> np.ndarray:
@@ -157,7 +162,10 @@ def compress(data, cfg: RansConfig | None = None,
             crcs.append(cont.crc32(data[off:end]) if off < data.size else 0)
         crcs = np.array(crcs, np.uint32)
 
-    return cont.pack(cfg, data.size, freqs, payloads, crcs)
+    blob = cont.pack(cfg, data.size, freqs, payloads, crcs)
+    from .utils.log import container_summary
+    container_summary(data.size, len(blob), len(payloads))
+    return blob
 
 
 def decompress(blob, backend: str = "auto") -> bytes:

@@ -58,3 +58,19 @@ def test_dispatch_slope_linear():
 
     per = profiling.dispatch_slope(make, lo=1, hi=5, tries=2)
     assert 0.001 < per < 0.004
+
+
+def test_logging_emits_routing_and_summary(book1_head, caplog):
+    import logging
+
+    from ryg_rans_tpu import api
+
+    with caplog.at_level(logging.DEBUG, logger="ryg_rans_tpu"):
+        blob = api.compress(book1_head[:5000].tobytes(),
+                            RansConfig(variant=Variant.WORD, prob_bits=12,
+                                       n_lanes=64, lanes_per_stream=64,
+                                       block_symbols=4096),
+                            backend="numpy")
+    text = caplog.text
+    assert "backend=numpy" in text
+    assert "container:" in text and "blocks" in text
