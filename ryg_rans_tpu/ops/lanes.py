@@ -111,12 +111,6 @@ def cum2sym_bisect(fc_rows, slot, shape):
     return lo
 
 
-def make_tri128() -> np.ndarray:
-    """(128,128) fp32 matrix computing an inclusive prefix sum along lanes:
-    cs = m @ tri  (tri[i,j] = 1 for i <= j)."""
-    return np.triu(np.ones((128, 128), np.float32))
-
-
 def lane_prefix_sum(mask_f32, tri, R: int):
     """Inclusive prefix sum of a (R,128) 0/1 float mask over the flattened
     (row-major) lane order, plus the total.

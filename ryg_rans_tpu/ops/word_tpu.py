@@ -48,12 +48,6 @@ from . import lanes
 # ---------------------------------------------------------------------------
 
 
-def pack_dec_rows(freqs, cum_freqs, scale_bits: int) -> np.ndarray:
-    """Packed decode slot table as (M/128, 128) int32 rows."""
-    t = tables_mod.pack_word_slots(freqs, cum_freqs, scale_bits)
-    return t.view(np.int32).reshape(-1, 128)
-
-
 def pack_dec_rows2(freqs, cum_freqs, scale_bits: int):
     """Two-level decode tables minimizing gather rows.
 
