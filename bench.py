@@ -127,4 +127,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # keep the driver's record parseable on failure
+        print(json.dumps({"metric": "decode_throughput_tpu_per_chip",
+                          "value": 0.0, "unit": "GB/s",
+                          "vs_baseline": 0.0}))
+        print(f"ERROR: {type(e).__name__}: {e}", file=sys.stderr)
+        sys.exit(1)
