@@ -84,7 +84,7 @@ def main():
                                  n_blocks=NB, interpret=False, ilp=2)
     dec = np.asarray(word_tpu.unpack_symbols(out, T4, R, NB))
     if not np.array_equal(dec, data):
-        print(json.dumps({"metric": "decode_throughput_tpu",
+        print(json.dumps({"metric": "decode_throughput_tpu_per_chip",
                           "value": 0.0, "unit": "GB/s",
                           "vs_baseline": 0.0}))
         print("ERROR: round-trip mismatch", file=sys.stderr)

@@ -49,18 +49,42 @@ def _tpu_mod(cfg: RansConfig):
     return rans64_tpu
 
 
-def _tpu_supported(cfg: RansConfig) -> bool:
-    return (9 <= cfg.prob_bits <= _TPU_MAX_PB[cfg.variant]
-            and cfg.n_lanes >= 1024 and cfg.n_lanes % 1024 == 0
-            and cfg.lanes_per_stream == cfg.n_lanes)
+def _tpu_supported(cfg: RansConfig, n_symbols: int | None = None) -> bool:
+    """True when the Pallas kernel path handles ``cfg`` (for ``n_symbols``
+    of input, when known).
+
+    Kernel constraints, verified compiled on v5e:
+      * one substream per block (the kernels' stream layout);
+      * 9 <= prob_bits <= the per-variant kernel maximum;
+      * n_lanes a multiple of 128 (vreg rows) and >= 256 (Mosaic rejects
+        single-sublane lane-gathers when compiled);
+      * block_symbols a multiple of 4*n_lanes (symbols travel 4-packed);
+      * multi-block grids slice (R,128)-row blocks and Mosaic requires
+        sliced sublane extents divisible by 8, so n_lanes % 1024 == 0 --
+        UNLESS the whole (padded) input is a single block, where the block
+        shape equals the full array and any R >= 2 compiles.
+    """
+    if not (9 <= cfg.prob_bits <= _TPU_MAX_PB[cfg.variant]
+            and cfg.n_lanes >= 256 and cfg.n_lanes % 128 == 0
+            and cfg.lanes_per_stream == cfg.n_lanes
+            and cfg.block_symbols % (4 * cfg.n_lanes) == 0):
+        return False
+    if cfg.n_lanes % 1024 == 0:
+        return True
+    if n_symbols is None:
+        return False
+    step = 4 * cfg.n_lanes
+    padded = -(-max(n_symbols, 1) // step) * step
+    return padded <= cfg.block_symbols
 
 
-def _pick_backend(cfg: RansConfig, backend: str) -> str:
+def _pick_backend(cfg: RansConfig, backend: str,
+                  n_symbols: int | None = None) -> str:
     from .utils.log import backend_choice
 
     if backend != "auto":
         chosen = backend
-    elif _tpu_supported(cfg) and _tpu_live():
+    elif _tpu_supported(cfg, n_symbols) and _tpu_live():
         chosen = "tpu"
     elif native.available():
         chosen = "native"
@@ -150,7 +174,7 @@ def compress(data, cfg: RansConfig | None = None,
         return cont.pack(cfg, 0, np.zeros(256, np.uint32), [], None)
 
     freqs, cum = stats.build_model(data, cfg.prob_bits)
-    be = _pick_backend(cfg, backend)
+    be = _pick_backend(cfg, backend, data.size)
     padded = _pad(data, cfg, freqs)
 
     crcs = [] if cfg.checksum else None
@@ -176,7 +200,7 @@ def decompress(blob, backend: str = "auto") -> bytes:
         return b""
     freqs = c.freqs
     cum = stats.calc_cum_freqs(freqs)
-    be = _pick_backend(cfg, backend)
+    be = _pick_backend(cfg, backend, c.orig_len)
 
     sizes = c.block_sizes()
     out = np.concatenate(
@@ -204,13 +228,19 @@ def decompress_to_device(blob):
     kernel -> unpack) produce the symbols on device -- no host round-trip
     for the data itself.  Requires a TPU-kernel-supported config; the
     padding tail beyond orig_len is sliced off on device.
+
+    CRC contract: per-block CRCs (FLAG_CRC) cover the ORIGINAL bytes, which
+    never visit the host here, so they are NOT validated -- by design, to
+    keep the path transfer-free.  Callers that need integrity checking
+    should use decompress() (validates CRCs host-side) or CRC the device
+    array themselves after consuming it.
     """
     import jax
     import jax.numpy as jnp
 
     c = cont.unpack(blob)
     cfg = c.cfg
-    if not _tpu_supported(cfg):
+    if not _tpu_supported(cfg, c.orig_len):
         raise ValueError("config not supported by the TPU kernel path; "
                          "use decompress() instead")
     freqs = c.freqs
@@ -280,8 +310,8 @@ def decompress_block(blob, block: int, backend: str = "auto") -> bytes:
         return b""
     freqs = c.freqs
     cum = stats.calc_cum_freqs(freqs)
-    be = _pick_backend(cfg, backend)
     size = sizes[block]
+    be = _pick_backend(cfg, backend, size)
     blk = c.payloads[block]
     if be == "tpu":
         out = _tpu_mod(cfg).decode(cfg, [blk[0]], size, freqs, cum,

@@ -30,9 +30,11 @@ class Variant(enum.IntEnum):
     ALIAS = 3
 
 
-#: Number of interleaved lanes a single substream serves in the TPU layout.
-#: 128 matches the TPU vector lane count, so one substream feeds one vreg row
-#: and decode-side renorm compaction never crosses sublanes.
+#: One TPU vector register row of lanes.  Kept as a named constant for
+#: sub-block substream layouts (``lanes_per_stream=128`` gives one substream
+#: per vreg row); the *default* layout is one substream per block
+#: (``lanes_per_stream == n_lanes``), which is what the Pallas kernels
+#: consume directly.
 LANES_PER_STREAM = 128
 
 #: Alphabet size.  The reference assumes 8-bit symbols throughout
@@ -110,15 +112,18 @@ class RansConfig:
     main.cpp:226, 8 at main_simd.cpp:287) to thousands of independent states.
     Lanes are partitioned into ``n_streams = n_lanes / lanes_per_stream``
     substreams; each substream carries the flushed states of its lanes
-    followed by their interleaved renorm words.  ``lanes_per_stream=1`` with
-    ``n_lanes in (1, 2)`` reproduces the reference's single-bytestream layout
-    bit-for-bit for the BYTE/RANS64/ALIAS variants.
+    followed by their interleaved renorm words.  ``lanes_per_stream``
+    defaults to ``n_lanes`` (one substream per block -- the layout the TPU
+    kernels consume, so default configs route to the Pallas path);
+    ``lanes_per_stream=1`` with ``n_lanes in (1, 2)`` reproduces the
+    reference's single-bytestream layout bit-for-bit for the
+    BYTE/RANS64/ALIAS variants.
     """
 
     variant: Variant = Variant.WORD
     prob_bits: int = 12
     n_lanes: int = 1024
-    lanes_per_stream: int = LANES_PER_STREAM
+    lanes_per_stream: int | None = None  # None -> n_lanes (TPU layout)
     block_symbols: int = 1 << 19  # symbols per data-parallel block (VMEM-bounded)
     checksum: bool = True
 
@@ -132,6 +137,8 @@ class RansConfig:
             raise ValueError("prob_bits must be >= 8 (alphabet is 256)")
         if self.n_lanes & (self.n_lanes - 1):
             raise ValueError("n_lanes must be a power of two")
+        if self.lanes_per_stream is None:
+            object.__setattr__(self, "lanes_per_stream", self.n_lanes)
         if self.lanes_per_stream & (self.lanes_per_stream - 1):
             raise ValueError("lanes_per_stream must be a power of two")
         if self.lanes_per_stream > self.n_lanes:

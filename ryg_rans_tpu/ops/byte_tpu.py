@@ -109,6 +109,9 @@ def _supports(cfg: RansConfig):
         raise ValueError("TPU byte kernel needs n_lanes a multiple of 128")
     if cfg.lanes_per_stream != cfg.n_lanes:
         raise ValueError("TPU byte kernel uses one substream per block")
+    if cfg.block_symbols % (4 * cfg.n_lanes):
+        raise ValueError("TPU kernels need block_symbols to be a multiple "
+                         "of 4*n_lanes (symbols travel 4-packed per int32)")
 
 
 # ---------------------------------------------------------------------------

@@ -57,11 +57,13 @@ class Container:
 
     @property
     def padded_len(self) -> int:
+        if self.orig_len == 0:
+            return 0  # empty container carries zero blocks
         step = 4 * self.cfg.n_lanes
-        return -(-max(self.orig_len, 1) // step) * step
+        return -(-self.orig_len // step) * step
 
     def block_sizes(self) -> list[int]:
-        """Padded symbol count per block."""
+        """Padded symbol count per block ([] for an empty container)."""
         B = self.cfg.block_symbols
         total = self.padded_len
         n_full = total // B

@@ -56,7 +56,7 @@ def compress_file(src: str, dst: str, cfg: RansConfig | None = None,
     padded_len = -(-orig_len // step) * step
     fill = int(np.argmax(freqs))
 
-    be = api._pick_backend(cfg, backend)
+    be = api._pick_backend(cfg, backend, orig_len)
     word_counts: list[list[int]] = []
     crcs: list[int] = [] if cfg.checksum else None
 
@@ -115,7 +115,7 @@ def decompress_file(src: str, dst: str, backend: str = "auto",
             return 0
         freqs = meta.freqs
         cum = stats.calc_cum_freqs(freqs)
-        be = api._pick_backend(cfg, backend)
+        be = api._pick_backend(cfg, backend, meta.orig_len)
         B = cfg.block_symbols
         wsize = np.dtype(cont.word_dtype(cfg.variant)).itemsize
         sizes = meta.block_sizes()
