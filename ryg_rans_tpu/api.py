@@ -31,9 +31,11 @@ def _tpu_live() -> bool:
         return False
 
 
-#: max prob_bits per variant on the TPU kernel path
-_TPU_MAX_PB = {Variant.WORD: 15, Variant.BYTE: 14, Variant.ALIAS: 16,
-               Variant.RANS64: 15}
+#: max prob_bits per variant on the TPU kernel path -- the reference's own
+#: maxima (rans_byte.h:176 allows 16; rans64.h:169 allows 31; WORD's
+#: stream words are 16-bit so freq <= 2^15 keeps slot math exact)
+_TPU_MAX_PB = {Variant.WORD: 15, Variant.BYTE: 16, Variant.ALIAS: 16,
+               Variant.RANS64: 31}
 
 
 def _tpu_mod(cfg: RansConfig):
@@ -139,9 +141,30 @@ def _encode_payloads(cfg: RansConfig, be: str, padded: np.ndarray,
 
 
 def _decode_payloads(cfg: RansConfig, be: str, payloads, sizes, freqs,
-                     cum) -> list[np.ndarray]:
+                     cum, raw=None) -> list[np.ndarray]:
     """Decode per-block payloads (padded sizes in ``sizes``, the usual
-    [B, ..., B, tail] pattern) into per-block symbol arrays."""
+    [B, ..., B, tail] pattern) into per-block symbol arrays.
+
+    ``raw`` marks blocks stored verbatim (container FLAG_RAW): those skip
+    the codec entirely and are zero-padded to their padded size (the pad is
+    sliced off by the caller via orig_len).  Only the last block can be
+    shorter than block_symbols, so the coded subset still follows the
+    [B, ..., B, tail] pattern the backends expect."""
+    if raw is not None and np.any(raw):
+        out: list = [None] * len(payloads)
+        coded = [i for i in range(len(payloads)) if not raw[i]]
+        if coded:
+            dec = _decode_payloads(cfg, be, [payloads[i] for i in coded],
+                                   [sizes[i] for i in coded], freqs, cum)
+            for i, arr in zip(coded, dec):
+                out[i] = arr
+        for i in range(len(payloads)):
+            if raw[i]:
+                b = np.asarray(payloads[i][0], np.uint8)
+                arr = np.zeros(sizes[i], np.uint8)
+                arr[:b.size] = b
+                out[i] = arr
+        return out
     if be == "tpu":
         blocks = [blk[0] for blk in payloads]
         out = _tpu_mod(cfg).decode(cfg, blocks, int(sum(sizes)), freqs, cum,
@@ -180,13 +203,27 @@ def compress(data, cfg: RansConfig | None = None,
     crcs = [] if cfg.checksum else None
     payloads = _encode_payloads(cfg, be, padded, freqs, cum)
 
+    # raw-block fallback (reference stream twist #3, rans_byte.h:28-35):
+    # store a block verbatim when coding would not shrink it, so
+    # incompressible data costs at most the container overhead.  The
+    # decision depends only on payload sizes, which are byte-identical
+    # across backends, so containers stay backend-independent.
+    wsize = np.dtype(cont.word_dtype(cfg.variant)).itemsize
+    raw = np.zeros(len(payloads), bool)
+    for b, (off, size) in enumerate(_block_slices(cfg, padded.size)):
+        end = min(off + size, data.size)
+        if sum(s.size for s in payloads[b]) * wsize >= end - off:
+            raw[b] = True
+            payloads[b] = [data[off:end].copy()]
+
     if cfg.checksum:
         for off, size in _block_slices(cfg, padded.size):
             end = min(off + size, data.size)
             crcs.append(cont.crc32(data[off:end]) if off < data.size else 0)
         crcs = np.array(crcs, np.uint32)
 
-    blob = cont.pack(cfg, data.size, freqs, payloads, crcs)
+    blob = cont.pack(cfg, data.size, freqs, payloads, crcs,
+                     raw if raw.any() else None)
     from .utils.log import container_summary
     container_summary(data.size, len(blob), len(payloads))
     return blob
@@ -204,7 +241,7 @@ def decompress(blob, backend: str = "auto") -> bytes:
 
     sizes = c.block_sizes()
     out = np.concatenate(
-        _decode_payloads(cfg, be, c.payloads, sizes, freqs, cum))
+        _decode_payloads(cfg, be, c.payloads, sizes, freqs, cum, c.raw))
 
     out = out[:c.orig_len]
     if c.crcs is not None:
@@ -250,6 +287,7 @@ def decompress_to_device(blob):
     R = cfg.n_lanes // 128
     N = cfg.n_lanes
     sizes = c.block_sizes()
+    raw = c.raw if c.raw is not None else np.zeros(len(sizes), bool)
     blocks = [blk[0] for blk in c.payloads]
 
     if cfg.variant == Variant.WORD:
@@ -257,23 +295,39 @@ def decompress_to_device(blob):
         tables = (jnp.asarray(s4), jnp.asarray(fc))
     elif cfg.variant == Variant.RANS64:
         s4, fc = mod.pack_dec_tables(freqs, cum, cfg.prob_bits)
-        tables = (jnp.asarray(s4), jnp.asarray(fc))
+        tables = (jnp.asarray(s4) if s4 is not None else None,
+                  jnp.asarray(fc))
     else:
         tables = mod.dec_tables(cfg, freqs, cum)
 
-    outs = []
-    n_full = sum(1 for s in sizes if s == cfg.block_symbols)
-    groups = [(blocks[:n_full], cfg.block_symbols)] if n_full else []
-    if n_full < len(blocks):
-        groups.append((blocks[n_full:], sizes[-1]))
-    for blks, block_syms in groups:
-        nb = len(blks)
+    results: list = [None] * len(sizes)
+    for i in range(len(sizes)):
+        if raw[i]:
+            # raw block: bytes go to the device verbatim, zero-padded to
+            # the padded block size (the pad falls past orig_len only for
+            # the last block; raw middle blocks are always exactly full)
+            b = jnp.asarray(np.asarray(blocks[i], np.uint8))
+            pad = sizes[i] - blocks[i].size
+            results[i] = jnp.pad(b, (0, pad)) if pad else b
+
+    B = cfg.block_symbols
+    coded = [i for i in range(len(sizes)) if not raw[i]]
+    groups = []
+    full_idx = [i for i in coded if sizes[i] == B]
+    tail_idx = [i for i in coded if sizes[i] != B]
+    if full_idx:
+        groups.append((full_idx, B))
+    if tail_idx:
+        groups.append((tail_idx, sizes[tail_idx[0]]))
+    for idxs, block_syms in groups:
+        nb = len(idxs)
         T4 = block_syms // N // 4
-        max_units = max(b.size for b in blks)
+        max_units = max(blocks[i].size for i in idxs)
         cap_rows = mod.decode_cap_rows(max_units, R)
         buf = np.zeros((nb, max_units), np.int32)
-        for i, b in enumerate(blks):
-            buf[i, :b.size] = b.astype(np.int64).astype(np.int32) \
+        for j, i in enumerate(idxs):
+            b = blocks[i]
+            buf[j, :b.size] = b.astype(np.int64).astype(np.int32) \
                 if b.dtype != np.uint32 else b.view(np.int32)
         ilp = 2 if nb % 2 == 0 else 1
         if cfg.variant == Variant.WORD or cfg.variant == Variant.RANS64:
@@ -286,8 +340,10 @@ def decompress_to_device(blob):
                                    n_blocks=nb,
                                    alias=cfg.variant == Variant.ALIAS,
                                    interpret=interpret, ilp=ilp)
-        outs.append(out)
-    full = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        out = out.reshape(nb, block_syms)
+        for j, i in enumerate(idxs):
+            results[i] = out[j]
+    full = results[0] if len(results) == 1 else jnp.concatenate(results)
     return full[:c.orig_len]
 
 
@@ -313,6 +369,11 @@ def decompress_block(blob, block: int, backend: str = "auto") -> bytes:
     size = sizes[block]
     be = _pick_backend(cfg, backend, size)
     blk = c.payloads[block]
+    if c.raw is not None and c.raw[block]:
+        out = np.asarray(blk[0], np.uint8)  # stored verbatim, unpadded
+        if c.crcs is not None and cont.crc32(out) != int(c.crcs[block]):
+            raise ValueError(f"crc mismatch in block {block}")
+        return out.tobytes()
     if be == "tpu":
         out = _tpu_mod(cfg).decode(cfg, [blk[0]], size, freqs, cum,
                                    interpret=not _tpu_live())

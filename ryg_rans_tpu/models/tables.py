@@ -8,10 +8,10 @@ Encoder parameter derivations follow the math documented in the reference:
   (rans_byte.h:174-243, applied at rans_byte.h:258-280).
 * RANS64 variant: same scheme with a 64-bit reciprocal whose 128-bit dividend
   is reduced with two chained 64/64 divisions (rans64.h:167-247).
-* WORD variant: fully-unrolled slot tables mapping slot -> (freq, bias, sym)
-  (rans_word_sse41.h:58-72); here the three fields are packed into a single
-  uint32 per slot -- (freq-1):12 | bias:12 | sym:8 -- so the TPU decoder
-  needs one gather instead of the reference's two (slots[] + slot2sym[]).
+* WORD variant: the reference's fully-unrolled slot tables
+  (rans_word_sse41.h:58-72) are replaced in production by the shared
+  two-level packing in ops/host_prep.py (cum2sym 4-per-int32 + a per-symbol
+  (freq-1|cum) row), which needs fewer gather rows on TPU.
 
 All tables are plain NumPy arrays; the JAX/Pallas kernels receive them as
 ordinary device arrays.
@@ -125,49 +125,3 @@ def build_rans64_enc_tables(
             out.rcp_shift[s] = shift - 1
             out.bias[s] = start
     return out
-
-
-def build_dec_tables(
-    freqs: np.ndarray, cum_freqs: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
-    """Decoder symbol table: (start[256], freq[256]) as uint32
-    (RansDecSymbol, rans_byte.h:168-171 / rans64.h:161-164)."""
-    return (
-        cum_freqs[:NSYMS].astype(np.uint32),
-        freqs.astype(np.uint32),
-    )
-
-
-def pack_word_slots(
-    freqs: np.ndarray, cum_freqs: np.ndarray, scale_bits: int
-) -> np.ndarray:
-    """Packed slot table for the WORD variant decoder.
-
-    The reference keeps two parallel tables, slots[M] = {freq:u16, bias:u16}
-    and slot2sym[M] (rans_word_sse41.h:58-72), costing two gathers per symbol.
-    Here slot -> ((freq-1) << 20) | (bias << 8) | sym in one uint32, so the
-    whole decode advance is one gather plus shifts/mask:
-
-        x = freq * (x >> scale_bits) + bias      (rans_word_sse41.h:126-130)
-
-    Requires scale_bits <= 12 so freq-1 and bias fit 12 bits each.
-    """
-    assert scale_bits <= 12
-    M = 1 << scale_bits
-    table = np.zeros(M, np.uint32)
-    for s in range(NSYMS):
-        freq = int(freqs[s])
-        start = int(cum_freqs[s])
-        if freq == 0:
-            continue
-        i = np.arange(freq, dtype=np.uint32)
-        table[start:start + freq] = ((freq - 1) << 20) | (i << 8) | s
-    return table
-
-
-def unpack_word_slot(packed: np.ndarray):
-    """(freq, bias, sym) from a packed WORD slot entry (numpy or jnp)."""
-    freq = (packed >> 20) + 1
-    bias = (packed >> 8) & 0xFFF
-    sym = packed & 0xFF
-    return freq, bias, sym

@@ -75,13 +75,20 @@ def pack_enc_tables(freqs, cum_freqs) -> np.ndarray:
     return host_prep.pack_enc_fc_minus1(freqs, cum_freqs)
 
 
-def build_alias_segments(freqs, cum_freqs, sb: int):
-    """alias_remap as <=512 constant-delta segments for the encoder.
+def build_alias_segments(freqs, cum_freqs, sb: int) -> np.ndarray:
+    """alias_remap as <=512 constant-delta segments, packed for the encoder.
 
     remap is a bijection built per (bucket, half) in contiguous idx runs
-    (main_alias.cpp:207-232), so remap[idx] - idx is piecewise constant;
-    maximal runs give (sorted_starts, deltas).  Returns two (4,128) int32
-    tables padded with +inf starts.
+    (main_alias.cpp:207-232), so remap[idx] - idx is piecewise constant over
+    <=512 maximal runs.  Each segment packs ((delta mod M) << 16) | start in
+    ONE int32: slot = (idx + delta) mod M is exact because slot < M <= 2^16,
+    so the bisect's winning entry carries its delta and no second table
+    lookup is needed.  The 512 entries are padded by repeating the last
+    segment (its delta stays correct for any idx past the last start, so no
+    sentinel compare) and interleaved modulo 4 -- entry e lives at
+    (e & 3, e >> 2) of the (4,128) table -- so bisect candidates with
+    stride >= 4 sit in row 0 (one single-row gather per step), stride 2 in
+    row 2, and only the final stride-1 step needs a two-row select.
     """
     tab = alias_mod.make_alias_tables(freqs, cum_freqs, sb)
     M = 1 << sb
@@ -89,20 +96,24 @@ def build_alias_segments(freqs, cum_freqs, sb: int):
     change = np.nonzero(np.diff(d))[0] + 1
     starts = np.concatenate([[0], change]).astype(np.int64)
     deltas = d[starts]
-    if len(starts) > 512:
+    n = len(starts)
+    if n > 512:
         raise AssertionError("alias remap has more than 512 segments")
-    seg_start = np.full(512, 0x7FFFFFFF, np.int32)
-    seg_start[:len(starts)] = starts
-    seg_delta = np.zeros(512, np.int32)
-    seg_delta[:len(starts)] = deltas
-    return seg_start.reshape(4, 128), seg_delta.reshape(4, 128)
+    st = np.empty(512, np.uint32)
+    dm = np.empty(512, np.uint32)
+    st[:n] = starts
+    st[n:] = starts[-1]
+    dm[:n] = (deltas % M).astype(np.uint32)
+    dm[n:] = dm[n - 1]
+    packed = (dm << 16) | st
+    return packed.reshape(128, 4).T.copy().view(np.int32)
 
 
 def _supports(cfg: RansConfig):
     if cfg.variant not in (Variant.BYTE, Variant.ALIAS):
         raise ValueError("byte_tpu handles the BYTE and ALIAS variants")
-    if cfg.variant == Variant.BYTE and not 9 <= cfg.prob_bits <= 14:
-        raise ValueError("TPU byte kernel needs 9 <= prob_bits <= 14")
+    if cfg.variant == Variant.BYTE and not 9 <= cfg.prob_bits <= 16:
+        raise ValueError("TPU byte kernel needs 9 <= prob_bits <= 16")
     if cfg.variant == Variant.ALIAS and not 9 <= cfg.prob_bits <= 16:
         raise ValueError("TPU alias kernel needs 9 <= prob_bits <= 16")
     if cfg.n_lanes % 128 or cfg.n_lanes < 128:
@@ -171,9 +182,9 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         elif _use_bisect(sb):
             # binary search on cum (16 row-gathers) beats the 4-packed
             # cum2sym sweep (M/512 = 32+ rows) at prob_bits >= 14
-            sym = lanes.cum2sym_bisect(fc, slot, (R, 128))
+            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128))
             e = lanes.table_lookup(fc, sym, 2, (R, 128))
-            freq = lanes.srl(e, 16)
+            freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
             x = freq * lanes.srl(x, sb) + slot - (e & 0xFFFF)
         else:
             # two-level cum2sym lookup + advance (rans_byte.h:125-149)
@@ -181,7 +192,7 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
                                     (R, 128))
             sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
             e = lanes.table_lookup(fc, sym, 2, (R, 128))
-            freq = lanes.srl(e, 16)
+            freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
             x = freq * lanes.srl(x, sb) + slot - (e & 0xFFFF)
         spk = spk | (sym << (8 * k))
         # closed-form renorm count: k = (x < 2^23) + (x < 2^15)
@@ -272,89 +283,123 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
 # Encode kernel
 # ---------------------------------------------------------------------------
 
-_SEG_STEPS = (256, 128, 64, 32, 16, 8, 4, 2, 1)
-
-
-def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool):
+def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
+                   ilp: int = 1):
     """Reverse-walk encode emitting one (k<<16 | fwd0<<8 | fwd1) cell per
     (step, lane); <=2 renorm bytes per symbol (rans_byte.h:62-74)."""
     if alias:
-        fc_ref, ss_ref, sd_ref, in_ref, emit_ref, xout_ref = refs
-        ss = ss_ref[:]
-        sd = sd_ref[:]
+        fc_ref, sp_ref, in_ref, emit_ref, xout_ref = refs
+        sp = sp_ref[:]
+        # mod-4 interleaved segment rows (build_alias_segments): pre-
+        # broadcast each so bisect steps are one take_along_axis each
+        sp_row = [jnp.broadcast_to(sp[r:r + 1, :], (R, 128))
+                  for r in range(4)]
     else:
         fc_ref, in_ref, emit_ref, xout_ref = refs
     fc = fc_ref[:]
     SH = 31 - sb  # x_max = freq << (l_bits - sb + 8) = freq << (31 - sb)
 
-    def body(i4, x):
-        t4 = T4 - 1 - i4
-        spk = in_ref[pl.ds(t4 * R, R), :]
-        for k in (3, 2, 1, 0):
-            sym = lanes.srl(spk, 8 * k) & 0xFF
-            e = lanes.table_lookup(fc, sym, 2, (R, 128))
-            freq = lanes.srl(e, 16) + 1
-            start = e & 0xFFFF
-            thm1 = (freq << SH) - 1  # wraps for freq = M; ugt handles it
-            m1 = lanes.ugt(x, thm1)
-            ba = x & 0xFF
-            x = jnp.where(m1, lanes.srl(x, 8), x)
-            m2 = lanes.ugt(x, thm1)
-            bb = x & 0xFF
-            x = jnp.where(m2, lanes.srl(x, 8), x)
-            kc = m1.astype(jnp.int32) + m2.astype(jnp.int32)
-            fwd0 = jnp.where(m2, bb, ba)       # most-significant byte first
-            fwd1 = jnp.where(m2, ba, 0)
-            emit_ref[pl.ds((4 * t4 + k) * R, R), :] = \
-                (kc << 16) | (fwd0 << 8) | fwd1
-            q, r = lanes.exact_div(x, freq)
-            if alias:
-                # x = (x/f)<<sb + alias_remap[(x%f) + cum] via segment
-                # binary search (main_alias.cpp:241-250)
-                idx = r + start
-                lo = jnp.zeros((R, 128), jnp.int32)
-                for step in _SEG_STEPS:
-                    cand = lo + step
-                    sv = lanes.table_lookup(ss, cand, 4, (R, 128))
-                    lo = jnp.where(sv <= idx, cand, lo)
-                delta = lanes.table_lookup(sd, lo, 4, (R, 128))
-                x = (q << sb) + idx + delta
-            else:
-                x = (q << sb) + r + start
+    def substep(x, spk, k, t4, eoff):
+        sym = lanes.srl(spk, 8 * k) & 0xFF
+        e = lanes.table_lookup(fc, sym, 2, (R, 128))
+        freq = lanes.srl(e, 16) + 1
+        start = e & 0xFFFF
+        thm1 = (freq << SH) - 1  # wraps for freq = M; ugt handles it
+        m1 = lanes.ugt(x, thm1)
+        ba = x & 0xFF
+        x = jnp.where(m1, lanes.srl(x, 8), x)
+        m2 = lanes.ugt(x, thm1)
+        bb = x & 0xFF
+        x = jnp.where(m2, lanes.srl(x, 8), x)
+        kc = m1.astype(jnp.int32) + m2.astype(jnp.int32)
+        fwd0 = jnp.where(m2, bb, ba)       # most-significant byte first
+        fwd1 = jnp.where(m2, ba, 0)
+        emit_ref[pl.ds(eoff + (4 * t4 + k) * R, R), :] = \
+            (kc << 16) | (fwd0 << 8) | fwd1
+        q, r = lanes.exact_div(x, freq)
+        if alias:
+            # x = (x/f)<<sb + alias_remap[(x%f) + cum] via segment
+            # binary search (main_alias.cpp:241-250).  Candidates with
+            # stride >= 4 are congruent 0 mod 4 -> interleaved row 0;
+            # stride 2 -> row 2; stride 1 -> rows {1,3}.  The winning
+            # entry carries (delta mod M) in its high half, so the
+            # search result IS the remap -- 11 single-row gathers total.
+            idx = r + start
+            lo = jnp.zeros((R, 128), jnp.int32)
+            # entry 0 (start always 0 <= idx); scalar (1,1)->(R,128)
+            # broadcasts are not Mosaic-legal, so gather column 0
+            ebest = jnp.take_along_axis(
+                sp_row[0], jnp.zeros((R, 128), jnp.int32), axis=1)
+            for step in (256, 128, 64, 32, 16, 8, 4, 2):
+                row = sp_row[0] if step >= 4 else sp_row[2]
+                cand = lo + step
+                ev = jnp.take_along_axis(row, lanes.srl(cand, 2), axis=1)
+                acc = (ev & 0xFFFF) <= idx
+                lo = jnp.where(acc, cand, lo)
+                ebest = jnp.where(acc, ev, ebest)
+            cand = lo + 1
+            col = lanes.srl(cand, 2)
+            v1 = jnp.take_along_axis(sp_row[1], col, axis=1)
+            v3 = jnp.take_along_axis(sp_row[3], col, axis=1)
+            ev = jnp.where((cand & 2) != 0, v3, v1)
+            acc = (ev & 0xFFFF) <= idx
+            ebest = jnp.where(acc, ev, ebest)
+            slot = (idx + lanes.srl(ebest, 16)) & ((1 << sb) - 1)
+            x = (q << sb) | slot
+        else:
+            x = (q << sb) + r + start
         return x
 
-    x = jax.lax.fori_loop(0, T4, body,
-                          jnp.full((R, 128), 1 << L_BITS, jnp.int32))
-    xout_ref[:] = x
+    def body(i4, xs):
+        xs = list(xs)
+        t4 = T4 - 1 - i4
+        spks = [in_ref[pl.ds((j * T4 + t4) * R, R), :] for j in range(ilp)]
+        for k in (3, 2, 1, 0):
+            # ilp independent blocks interleave their dependency chains
+            # (block-level 2-way interleave; see the decode kernel)
+            for j in range(ilp):
+                xs[j] = substep(xs[j], spks[j], k, t4, j * 4 * T4 * R)
+        return tuple(xs)
+
+    xs = jax.lax.fori_loop(
+        0, T4, body,
+        tuple(jnp.full((R, 128), 1 << L_BITS, jnp.int32)
+              for _ in range(ilp)))
+    for j in range(ilp):
+        xout_ref[pl.ds(j * R, R), :] = xs[j]
 
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "n_blocks",
-                                             "alias", "interpret"))
+                                             "alias", "interpret", "ilp"))
 def encode_blocks(tables, syms_packed, *, T4: int, R: int, sb: int,
-                  n_blocks: int, alias: bool, interpret: bool = False):
-    """Grid dense encode.  tables: (fc,) or (fc, seg_start, seg_delta).
+                  n_blocks: int, alias: bool, interpret: bool = False,
+                  ilp: int = 1):
+    """Grid dense encode.  tables: (fc,) or (fc, seg_packed).
     Returns (emit cells (n_blocks*4*T4*R,128) i32, states (n_blocks*R,128))."""
     if not interpret and R < 2:
         raise ValueError("compiled TPU encode needs n_lanes >= 256")
+    if n_blocks % ilp:
+        raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
     tab_specs = [
         pl.BlockSpec(t.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
         for t in tables
     ]
     return pl.pallas_call(
-        functools.partial(_encode_kernel, T4=T4, R=R, sb=sb, alias=alias),
-        grid=(n_blocks,),
+        functools.partial(_encode_kernel, T4=T4, R=R, sb=sb, alias=alias,
+                          ilp=ilp),
+        grid=(n_blocks // ilp,),
         out_shape=(
             jax.ShapeDtypeStruct((n_blocks * 4 * T4 * R, 128), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks * R, 128), jnp.int32),
         ),
         in_specs=tab_specs + [
-            pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((4 * T4 * R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * 4 * T4 * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
@@ -453,8 +498,8 @@ def dec_tables(cfg: RansConfig, freqs, cum_freqs):
 def enc_tables(cfg: RansConfig, freqs, cum_freqs):
     fc = jnp.asarray(pack_enc_tables(freqs, cum_freqs))
     if cfg.variant == Variant.ALIAS:
-        ss, sd = build_alias_segments(freqs, cum_freqs, cfg.prob_bits)
-        return (fc, jnp.asarray(ss), jnp.asarray(sd))
+        sp = build_alias_segments(freqs, cum_freqs, cfg.prob_bits)
+        return (fc, jnp.asarray(sp))
     return (fc,)
 
 
@@ -480,7 +525,8 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
         spk = word_tpu.pack_symbols(jnp.asarray(chunk), T4, R, n_blocks)
         emit, xf = encode_blocks(tables, spk, T4=T4, R=R, sb=cfg.prob_bits,
                                  n_blocks=n_blocks, alias=alias,
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 ilp=2 if n_blocks % 2 == 0 else 1)
         cap = 2 * T * N  # <=2 bytes per symbol
         buf, n_bytes = compact_emissions(emit, xf, cap, n_blocks)
         buf_np = np.asarray(buf)

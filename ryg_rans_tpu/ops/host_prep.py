@@ -16,15 +16,37 @@ from ..models import stats as stats_mod
 
 def pack_sym4_fc(freqs, cum_freqs, sb: int):
     """Two-level decode tables: cum2sym packed 4 symbols/int32 as
-    (M/512, 128) rows, plus per-symbol (freq << 16) | cum as (2,128)."""
+    (M/512, 128) rows, plus a (4,128) per-symbol table:
+
+      rows 0-1: ((freq-1) << 16) | cum   -- the advance's (freq, start);
+                freq-1 keeps the field exact up to prob_bits 16 (freq can
+                reach 2^16 in the degenerate one-symbol model); decoders
+                add the 1 back.  Absent symbols are never produced by the
+                slot lookup, so their freq-1 underflow clamp is harmless.
+      rows 2-3: cum[s+1] at full int32 width -- the bisect's search keys
+                (lanes.cum2sym_bisect).  cum[s+1] reaches M itself, which
+                no 16-bit packed field can hold at prob_bits 16.
+    """
     c2s = stats_mod.cum2sym(cum_freqs, sb).astype(np.uint32)
     s4 = (c2s[0::4] | (c2s[1::4] << 8) | (c2s[2::4] << 16)
           | (c2s[3::4] << 24))
     sym4_rows = s4.view(np.int32).reshape(-1, 128)
-    fc = (np.asarray(freqs, np.uint32) << 16) \
-        | np.asarray(cum_freqs[:256], np.uint32)
-    fc_rows = fc.view(np.int32).reshape(2, 128)
+    f = np.maximum(np.asarray(freqs, np.uint32), 1) - 1
+    fc = (f << 16) | np.asarray(cum_freqs[:256], np.uint32)
+    cn = np.asarray(cum_freqs[1:257], np.uint32)
+    fc_rows = np.concatenate([fc, cn]).view(np.int32).reshape(4, 128)
     return sym4_rows, fc_rows
+
+
+def pack_wide_fc(freqs, cum_freqs) -> np.ndarray:
+    """Full-width decode symbol table for prob_bits > 16 (RANS64): (6,128)
+    int32 with rows 0-1 = freq-1, rows 2-3 = cum, rows 4-5 = cum[s+1] (the
+    bisect keys) -- every field a full u32, since freq/cum exceed any
+    16-bit packed field beyond prob_bits 16 (rans64.h allows 31)."""
+    f = np.maximum(np.asarray(freqs, np.uint32), 1) - 1
+    c = np.asarray(cum_freqs[:256], np.uint32)
+    cn = np.asarray(cum_freqs[1:257], np.uint32)
+    return np.concatenate([f, c, cn]).view(np.int32).reshape(6, 128)
 
 
 def pack_enc_fc_minus1(freqs, cum_freqs) -> np.ndarray:

@@ -91,23 +91,27 @@ def window_select(window, rel, col, W: int, shape):
     return out
 
 
-def cum2sym_bisect(fc_rows, slot, shape):
-    """slot -> symbol via branchless binary search over the 256-entry
-    (freq<<16 | cum) table packed as (2,128) int32 rows.
+def cum2sym_bisect(cn_rows, slot, shape):
+    """slot -> symbol via branchless rank search over a (2,128) table of
+    full-width cum[s+1] keys (rows 2-3 of host_prep.pack_sym4_fc's table,
+    rows 4-5 of pack_wide_fc's).
 
-    The vector analog of std::upper_bound on cum_freqs: 8 halving steps,
-    each one 2-row table gather + compare on the cum field.  Beats sweeping
-    the packed cum2sym slot table when that table exceeds ~16 rows
+    The vector analog of std::upper_bound on cum_freqs: the answer is the
+    minimal s with cum[s+1] > slot, computed as the rank
+    #{s : cum[s+1] <= slot} by 8 halving steps of a 2-row gather + unsigned
+    compare.  Full-width keys (not a 16-bit packed field) make prob_bits
+    16 -- and RANS64's 31 -- exact: cum[s+1] reaches M itself for every
+    symbol past the last present one, and the rank form is correct for
+    absent-symbol runs at either end of the alphabet.  Beats sweeping the
+    packed cum2sym slot table when that table exceeds ~16 rows
     (prob_bits >= 14); below that the direct sweep wins (see
-    byte_tpu/rans64_tpu call sites).  Returns the greatest s with
-    cum[s] <= slot (freq-0 runs resolve to the real symbol by maximality:
-    cum[s+1] > slot implies freq[s] > 0).
+    byte_tpu/rans64_tpu call sites).
     """
     lo = jnp.zeros(shape, jnp.int32)
     for step in (128, 64, 32, 16, 8, 4, 2, 1):
         cand = lo + step
-        cv = table_lookup(fc_rows, cand, 2, shape) & 0xFFFF
-        lo = jnp.where(cv <= slot, cand, lo)
+        cv = table_lookup(cn_rows, cand - 1, 2, shape)
+        lo = jnp.where(uge(slot, cv), cand, lo)
     return lo
 
 
@@ -235,6 +239,85 @@ def _u32_to_f32(x):
     neg = x < 0
     base = jnp.where(neg, x - I32_MIN, x).astype(jnp.float32)
     return jnp.where(neg, base + jnp.float32(2147483648.0), base)
+
+
+def mul_u32_u64(a, b_hi, b_lo):
+    """(a * (b_hi, b_lo)) mod 2^64 for a 32-bit unsigned a and a 64-bit
+    (hi, lo) pair, exact 16-bit-limb schoolbook.
+
+    Every column accumulates at most 3 sixteen-bit parts plus a carry
+    < 2^19, so all intermediates stay exact in int32 (the same discipline
+    as mulhi32).  Returns (hi, lo) int32 lanes of the low 64 bits.
+    """
+    a0 = a & 0xFFFF
+    a1 = srl(a, 16)
+    b0 = b_lo & 0xFFFF
+    b1 = srl(b_lo, 16)
+    b2 = b_hi & 0xFFFF
+    b3 = srl(b_hi, 16)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p02 = a0 * b2
+    p10 = a1 * b0
+    p11 = a1 * b1
+    c0 = p00 & 0xFFFF
+    s1 = srl(p00, 16) + (p01 & 0xFFFF) + (p10 & 0xFFFF)
+    c1 = s1 & 0xFFFF
+    s2 = srl(s1, 16) + srl(p01, 16) + srl(p10, 16) \
+        + (p02 & 0xFFFF) + (p11 & 0xFFFF)
+    c2 = s2 & 0xFFFF
+    # top limb mod 2^16: carries + low halves of the column-3 products
+    s3 = srl(s2, 16) + srl(p02, 16) + srl(p11, 16) \
+        + a0 * b3 + a1 * b2  # full products fine: only low 16 bits kept
+    return (c2 | (s3 << 16)), (c0 | (c1 << 16))
+
+
+def mulhi64(a_hi, a_lo, b_hi, b_lo):
+    """High 64 bits of the exact 128-bit product of two unsigned 64-bit
+    (hi, lo) int32-pair lanes -- the VPU emulation of Rans64MulHi
+    (rans64.h:31-51, __umulh / unsigned __int128).
+
+    Full 4x4 16-bit-limb schoolbook with column-wise carry propagation;
+    every column sum stays < 2^20, exact in int32.
+    """
+    a = (a_lo & 0xFFFF, srl(a_lo, 16), a_hi & 0xFFFF, srl(a_hi, 16))
+    b = (b_lo & 0xFFFF, srl(b_lo, 16), b_hi & 0xFFFF, srl(b_hi, 16))
+    # columns 0..6 accumulated as (sum of 16-bit parts + carry); column 7
+    # needs only its low 16 bits
+    carry = None
+    cols = []
+    for k in range(7):
+        s = carry if carry is not None else 0
+        hi_parts = 0
+        for i in range(4):
+            j = k - i
+            if 0 <= j < 4:
+                p = a[i] * b[j]
+                s = s + (p & 0xFFFF)
+                hi_parts = hi_parts + srl(p, 16)
+        cols.append(s & 0xFFFF)
+        carry = srl(s, 16) + hi_parts
+    c7 = carry
+    for i in range(4):
+        j = 7 - i
+        if 0 <= j < 4:
+            c7 = c7 + a[i] * b[j]  # only low 16 bits of column 7 survive
+    return (cols[6] | (c7 << 16)), (cols[4] | (cols[5] << 16))
+
+
+def add64(a_hi, a_lo, b_hi, b_lo):
+    """(a + b) mod 2^64 on (hi, lo) int32-pair lanes."""
+    s_lo = a_lo + b_lo
+    carry = ugt(a_lo, s_lo).astype(jnp.int32)  # unsigned wrap detect
+    return a_hi + b_hi + carry, s_lo
+
+
+def srl64(a_hi, a_lo, n):
+    """Logical right shift of a 64-bit (hi, lo) pair by a per-lane count
+    n in [0, 31] (shifts by 32-n are decomposed to stay < 32)."""
+    lo = srl(a_lo, n) | ((a_hi << 1) << (31 - n))
+    hi = srl(a_hi, n)
+    return hi, lo
 
 
 def mulhi32(a, b):

@@ -22,9 +22,19 @@ oracle/native layout with one substream per block (docs/FORMAT.md): head =
 flushed states as 2 LE u32 words per lane, lane-ascending
 (Rans64EncFlush, rans64.h:96-103), then renorm words (step asc, lane asc).
 
-The TPU path supports prob_bits <= 15 (one-limb frequencies); the native
-and numpy backends cover the full 31-bit precision of the reference
-(rans64.h:169).
+The TPU path covers the reference's FULL precision range, prob_bits <= 31
+(rans64.h:169, the variant's defining near-entropy feature):
+
+* prob_bits <= 16: one-limb frequencies; encode divides with the 64/16
+  schoolbook above;
+* prob_bits 17..31: two-limb frequencies -- decode advance becomes a
+  32x64 limb product (lanes.mul_u32_u64) over full-width tables
+  (host_prep.pack_wide_fc), and encode uses the reference's own
+  division-free 64-bit Alverson reciprocal (Rans64EncSymbolInit math,
+  rans64.h:167-247; q = mulhi64(x, rcp) >> shift then
+  x += bias + q*cmpl_freq, rans64.h:262-278) on 16-bit limbs
+  (lanes.mulhi64).  The reciprocal path is also selectable at low
+  prob_bits for A/B against the division path (``recip=`` argument).
 """
 
 from __future__ import annotations
@@ -39,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RansConfig, Variant
 from ..models import stats as stats_mod
+from ..models import tables as tables_mod
 from . import host_prep
 from . import lanes
 
@@ -46,21 +57,39 @@ L_BITS = 31  # rans64.h:59
 
 
 def pack_dec_tables(freqs, cum_freqs, sb: int):
-    """Two-level decode tables (shared layout, ops/host_prep.py)."""
-    return host_prep.pack_sym4_fc(freqs, cum_freqs, sb)
+    """Decode tables: the shared packed two-level layout up to prob_bits 16
+    (host_prep.pack_sym4_fc), full-width (6,128) rows beyond (sym4 slot
+    table would be 2^sb entries -- None; the kernel bisects instead)."""
+    if sb <= 16:
+        return host_prep.pack_sym4_fc(freqs, cum_freqs, sb)
+    return None, host_prep.pack_wide_fc(freqs, cum_freqs)
 
 
 def pack_enc_tables(freqs, cum_freqs) -> np.ndarray:
-    """Per-symbol ((freq-1) << 16) | cum rows (shared, ops/host_prep.py)."""
+    """Per-symbol ((freq-1) << 16) | cum rows (shared, ops/host_prep.py);
+    the division-path encode tables, valid to prob_bits 16."""
     return host_prep.pack_enc_fc_minus1(freqs, cum_freqs)
+
+
+def pack_enc_tables_recip(freqs, cum_freqs, sb: int) -> np.ndarray:
+    """Division-free encode tables (Rans64EncSymbolInit, rans64.h:167-247)
+    as (12,128) int32: rows 0-1 rcp_freq lo32, 2-3 rcp_freq hi32, 4-5 bias,
+    6-7 cmpl_freq, 8-9 rcp_shift, 10-11 renorm threshold freq << (31-sb)
+    (the hi-word form of x_max, rans64.h:83)."""
+    t = tables_mod.build_rans64_enc_tables(freqs, cum_freqs, sb)
+    rcp_lo = (t.rcp_freq & 0xFFFFFFFF).astype(np.uint32)
+    rcp_hi = (t.rcp_freq >> np.uint64(32)).astype(np.uint32)
+    thr = (t.freq.astype(np.uint64) << np.uint64(31 - sb)).astype(np.uint32)
+    return np.concatenate(
+        [rcp_lo, rcp_hi, t.bias, t.cmpl_freq, t.rcp_shift, thr]
+    ).view(np.int32).reshape(12, 128)
 
 
 def _supports(cfg: RansConfig):
     if cfg.variant != Variant.RANS64:
         raise ValueError("rans64_tpu handles the RANS64 variant")
-    if not 9 <= cfg.prob_bits <= 15:
-        raise ValueError("TPU rans64 kernel needs 9 <= prob_bits <= 15 "
-                         "(one-limb frequencies); use native/numpy beyond")
+    if not 9 <= cfg.prob_bits <= 31:
+        raise ValueError("TPU rans64 kernel needs 9 <= prob_bits <= 31")
     if cfg.n_lanes % 128 or cfg.n_lanes < 128:
         raise ValueError("TPU rans64 kernel needs n_lanes a multiple of 128")
     if cfg.lanes_per_stream != cfg.n_lanes:
@@ -105,8 +134,9 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
-    s4rows = (1 << sb) // 512
-    if s4rows > 16:  # bisect path needs no cum2sym table in VMEM
+    wide = sb > 16  # two-limb frequencies, full-width tables
+    s4rows = 0 if wide else (1 << sb) // 512
+    if wide or s4rows > 16:  # bisect path needs no cum2sym table in VMEM
         fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref = refs
     else:
         sym4_ref, fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref = refs
@@ -115,27 +145,39 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
     tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
            ).astype(jnp.float32)
-    M1 = (1 << sb) - 1
+    M1 = lanes._as_i32((1 << sb) - 1)
     WMAX = wmax_rows(R)        # worst case: 1 word/lane -> R window rows
     cap_rows = stream_ref.shape[0] // ilp
 
     def substep(hi, lo, base, spk, k, woff):
         slot = lo & M1
-        if s4rows > 16:
+        if wide:
+            # full-width (6,128) tables (host_prep.pack_wide_fc): bisect
+            # keys rows 4-5, freq-1 rows 0-1, cum rows 2-3
+            sym = lanes.cum2sym_bisect(fc[4:6], slot, (R, 128))
+            freq = lanes.table_lookup(fc[0:2], sym, 2, (R, 128)) + 1
+            cumv = lanes.table_lookup(fc[2:4], sym, 2, (R, 128))
+        elif s4rows > 16:
             # binary search on cum beats the 4-packed cum2sym sweep
             # once the slot table exceeds 16 rows (prob_bits >= 14)
-            sym = lanes.cum2sym_bisect(fc, slot, (R, 128))
+            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128))
+            e = lanes.table_lookup(fc, sym, 2, (R, 128))
+            freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
+            cumv = e & 0xFFFF
         else:
             s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
                                     (R, 128))
             sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
-        e = lanes.table_lookup(fc, sym, 2, (R, 128))
-        freq = lanes.srl(e, 16)
-        cumv = e & 0xFFFF
+            e = lanes.table_lookup(fc, sym, 2, (R, 128))
+            freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
+            cumv = e & 0xFFFF
         # advance: x = freq * (x >> sb) + slot - cum  (rans64.h:126-133)
         y_lo = lanes.srl(lo, sb) | (hi << (32 - sb))
         y_hi = lanes.srl(hi, sb)
-        hi, lo = _mul_u16_u64(freq, y_hi, y_lo)
+        if wide:
+            hi, lo = lanes.mul_u32_u64(freq, y_hi, y_lo)
+        else:
+            hi, lo = _mul_u16_u64(freq, y_hi, y_lo)
         d = slot - cumv
         s = lo + d
         hi = hi + jnp.where((d > 0) & lanes.ugt(lo, s), 1, 0) \
@@ -192,17 +234,18 @@ def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
     if n_blocks % ilp:
         raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
     s4rows = (1 << sb) // 512
-    bisect = s4rows > 16
+    bisect = sb > 16 or s4rows > 16
     tab_specs = [] if bisect else [
         pl.BlockSpec((s4rows, 128), lambda b: (0, 0),
                      memory_space=pltpu.VMEM)]
     tab_args = [] if bisect else [sym4_rows]
+    fc_shape = (6, 128) if sb > 16 else (4, 128)
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, ilp=ilp),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [
-            pl.BlockSpec((2, 128), lambda b: (0, 0),
+            pl.BlockSpec(fc_shape, lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -223,60 +266,105 @@ def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
 
 
 def _encode_kernel(fc_ref, in_ref, emitw_ref, emitv_ref, xlo_ref, xhi_ref,
-                   *, T4: int, R: int, sb: int):
+                   *, T4: int, R: int, sb: int, ilp: int = 1,
+                   recip: bool = False):
     fc = fc_ref[:]
     SH = 31 - sb  # x_max hi word = freq << (31 - sb)  (rans64.h:83)
 
-    def body(i4, carry):
-        hi, lo = carry
-        t4 = T4 - 1 - i4
-        spk = in_ref[pl.ds(t4 * R, R), :]
-        for k in (3, 2, 1, 0):
-            sym = lanes.srl(spk, 8 * k) & 0xFF
-            e = lanes.table_lookup(fc, sym, 2, (R, 128))
-            freq = lanes.srl(e, 16) + 1
-            start = e & 0xFFFF
-            # renorm: x >= freq << (63-sb)  <=>  hi >= freq << (31-sb)
-            m = lanes.uge(hi, freq << SH)
-            emitw_ref[pl.ds((4 * t4 + k) * R, R), :] = jnp.where(m, lo, 0)
-            emitv_ref[pl.ds((4 * t4 + k) * R, R), :] = m.astype(jnp.int32)
-            lo = jnp.where(m, hi, lo)
-            hi = jnp.where(m, 0, hi)
-            # x = (x/f) << sb + (x%f) + start: 64/16 schoolbook division
-            rem = jnp.zeros((R, 128), jnp.int32)
-            qs = []
-            for limb in (lanes.srl(hi, 16), hi & 0xFFFF,
-                         lanes.srl(lo, 16), lo & 0xFFFF):
-                cur = (rem << 16) | limb
-                qi, rem = lanes.exact_div(cur, freq)
-                qs.append(qi)
-            q_hi = (qs[0] << 16) | qs[1]
-            q_lo = (qs[2] << 16) | qs[3]
-            new_lo = q_lo << sb
-            new_hi = (q_hi << sb) | lanes.srl(q_lo, 32 - sb)
-            a = rem + start
-            s = new_lo + a
-            new_hi = new_hi + jnp.where(lanes.ugt(new_lo, s), 1, 0)
-            hi, lo = new_hi, s
-        return hi, lo
+    def substep_div(hi, lo, spk, k, t4, eoff):
+        sym = lanes.srl(spk, 8 * k) & 0xFF
+        e = lanes.table_lookup(fc, sym, 2, (R, 128))
+        freq = lanes.srl(e, 16) + 1
+        start = e & 0xFFFF
+        # renorm: x >= freq << (63-sb)  <=>  hi >= freq << (31-sb)
+        m = lanes.uge(hi, freq << SH)
+        emitw_ref[pl.ds(eoff + (4 * t4 + k) * R, R), :] = jnp.where(m, lo, 0)
+        emitv_ref[pl.ds(eoff + (4 * t4 + k) * R, R), :] = m.astype(jnp.int32)
+        lo = jnp.where(m, hi, lo)
+        hi = jnp.where(m, 0, hi)
+        # x = (x/f) << sb + (x%f) + start: 64/16 schoolbook division
+        rem = jnp.zeros((R, 128), jnp.int32)
+        qs = []
+        for limb in (lanes.srl(hi, 16), hi & 0xFFFF,
+                     lanes.srl(lo, 16), lo & 0xFFFF):
+            cur = (rem << 16) | limb
+            qi, rem = lanes.exact_div(cur, freq)
+            qs.append(qi)
+        q_hi = (qs[0] << 16) | qs[1]
+        q_lo = (qs[2] << 16) | qs[3]
+        new_lo = q_lo << sb
+        new_hi = (q_hi << sb) | lanes.srl(q_lo, 32 - sb)
+        a = rem + start
+        s = new_lo + a
+        new_hi = new_hi + jnp.where(lanes.ugt(new_lo, s), 1, 0)
+        return new_hi, s
 
-    hi, lo = jax.lax.fori_loop(
-        0, T4, body, (jnp.zeros((R, 128), jnp.int32),
-                      jnp.full((R, 128), lanes.I32_MIN, jnp.int32)))  # x = L
-    xlo_ref[:] = lo
-    xhi_ref[:] = hi
+    def substep_recip(hi, lo, spk, k, t4, eoff):
+        # Rans64EncPutSymbol's division-free form (rans64.h:262-278):
+        # q = mulhi64(x, rcp_freq) >> rcp_shift; x += bias + q*cmpl_freq.
+        # Tables: pack_enc_tables_recip; exact for the full state range by
+        # the Alverson reciprocal construction (rans64.h:167-247).
+        sym = lanes.srl(spk, 8 * k) & 0xFF
+        rcp_lo = lanes.table_lookup(fc[0:2], sym, 2, (R, 128))
+        rcp_hi = lanes.table_lookup(fc[2:4], sym, 2, (R, 128))
+        bias = lanes.table_lookup(fc[4:6], sym, 2, (R, 128))
+        cmpl = lanes.table_lookup(fc[6:8], sym, 2, (R, 128))
+        shv = lanes.table_lookup(fc[8:10], sym, 2, (R, 128))
+        thr = lanes.table_lookup(fc[10:12], sym, 2, (R, 128))
+        m = lanes.uge(hi, thr)  # renorm (rans64.h:81-89)
+        emitw_ref[pl.ds(eoff + (4 * t4 + k) * R, R), :] = jnp.where(m, lo, 0)
+        emitv_ref[pl.ds(eoff + (4 * t4 + k) * R, R), :] = m.astype(jnp.int32)
+        lo = jnp.where(m, hi, lo)
+        hi = jnp.where(m, 0, hi)
+        q_hi, q_lo = lanes.mulhi64(hi, lo, rcp_hi, rcp_lo)
+        q_hi, q_lo = lanes.srl64(q_hi, q_lo, shv)  # rcp_shift <= 30
+        p_hi, p_lo = lanes.mul_u32_u64(cmpl, q_hi, q_lo)
+        hi, lo = lanes.add64(hi, lo, p_hi, p_lo)
+        s = lo + bias
+        hi = hi + lanes.ugt(lo, s).astype(jnp.int32)
+        return hi, s
+
+    substep = substep_recip if recip else substep_div
+
+    def body(i4, carry):
+        his, los = list(carry[0]), list(carry[1])
+        t4 = T4 - 1 - i4
+        spks = [in_ref[pl.ds((j * T4 + t4) * R, R), :] for j in range(ilp)]
+        for k in (3, 2, 1, 0):
+            # ilp independent blocks interleave their dependency chains
+            for j in range(ilp):
+                his[j], los[j] = substep(his[j], los[j], spks[j], k, t4,
+                                         j * 4 * T4 * R)
+        return tuple(his), tuple(los)
+
+    his, los = jax.lax.fori_loop(
+        0, T4, body,
+        (tuple(jnp.zeros((R, 128), jnp.int32) for _ in range(ilp)),
+         tuple(jnp.full((R, 128), lanes.I32_MIN, jnp.int32)
+               for _ in range(ilp))))  # x = L
+    for j in range(ilp):
+        xlo_ref[pl.ds(j * R, R), :] = los[j]
+        xhi_ref[pl.ds(j * R, R), :] = his[j]
 
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "n_blocks",
-                                             "interpret"))
+                                             "interpret", "ilp", "recip"))
 def encode_blocks(fc_rows, syms_packed, *, T4: int, R: int, sb: int,
-                  n_blocks: int, interpret: bool = False):
-    """Returns (emit words, emit valid, state lo, state hi)."""
+                  n_blocks: int, interpret: bool = False, ilp: int = 1,
+                  recip: bool = False):
+    """Returns (emit words, emit valid, state lo, state hi).
+
+    recip=False: 64/16 schoolbook division, fc_rows (2,128), prob_bits<=16.
+    recip=True: Alverson-reciprocal path, fc_rows (12,128), any prob_bits.
+    """
     if not interpret and R < 2:
         raise ValueError("compiled TPU encode needs n_lanes >= 256")
+    if n_blocks % ilp:
+        raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
     return pl.pallas_call(
-        functools.partial(_encode_kernel, T4=T4, R=R, sb=sb),
-        grid=(n_blocks,),
+        functools.partial(_encode_kernel, T4=T4, R=R, sb=sb, ilp=ilp,
+                          recip=recip),
+        grid=(n_blocks // ilp,),
         out_shape=(
             jax.ShapeDtypeStruct((n_blocks * 4 * T4 * R, 128), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks * 4 * T4 * R, 128), jnp.int32),
@@ -284,21 +372,24 @@ def encode_blocks(fc_rows, syms_packed, *, T4: int, R: int, sb: int,
             jax.ShapeDtypeStruct((n_blocks * R, 128), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec((2, 128), lambda b: (0, 0),
+            pl.BlockSpec((12, 128) if recip else (2, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((4 * T4 * R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * 4 * T4 * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * T4 * R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * 4 * T4 * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ),
+        # two emit outputs (word + valid) put ilp=2 slightly past the 16M
+        # default scoped-vmem limit; v5e has 128M VMEM, so raise it
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
         interpret=interpret,
     )(fc_rows, syms_packed)
 
@@ -384,7 +475,13 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
     R = cfg.n_lanes // 128
     N = cfg.n_lanes
     padded, _ = word_tpu.pad_block(np.asarray(data, np.uint8), N, freqs)
-    fc_rows = jnp.asarray(pack_enc_tables(freqs, cum_freqs))
+    # prob_bits > 16 needs the reciprocal path (frequencies exceed the
+    # division path's one-limb range); below that the 64/16 schoolbook
+    # division measures faster on v5e (fewer table gathers)
+    recip = cfg.prob_bits > 16
+    fc_rows = jnp.asarray(
+        pack_enc_tables_recip(freqs, cum_freqs, cfg.prob_bits) if recip
+        else pack_enc_tables(freqs, cum_freqs))
     n_full, tail = _split_blocks(cfg, padded.size)
 
     out_blocks: list[np.ndarray] = []
@@ -395,7 +492,8 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
         spk = word_tpu.pack_symbols(jnp.asarray(chunk), T4, R, n_blocks)
         ew, ev, xlo, xhi = encode_blocks(fc_rows, spk, T4=T4, R=R,
                                          sb=cfg.prob_bits, n_blocks=n_blocks,
-                                         interpret=interpret)
+                                         interpret=interpret, recip=recip,
+                                         ilp=2 if n_blocks % 2 == 0 else 1)
         cap = T * N  # <=1 word per symbol
         buf, n_words = compact_emissions(ew, ev, xlo, xhi, cap, n_blocks)
         buf_np = np.asarray(buf).view(np.uint32)
@@ -421,7 +519,8 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
     R = cfg.n_lanes // 128
     N = cfg.n_lanes
     s4, fc = pack_dec_tables(freqs, cum_freqs, cfg.prob_bits)
-    sym4_rows, fc_rows = jnp.asarray(s4), jnp.asarray(fc)
+    sym4_rows = jnp.asarray(s4) if s4 is not None else None
+    fc_rows = jnp.asarray(fc)
     n_full, tail = _split_blocks(cfg, n_symbols_padded)
     assert len(word_blocks) == n_full + (1 if tail else 0)
 

@@ -69,7 +69,11 @@ class LaneCoder:
                 freqs, cum_freqs, self.scale)
         else:
             self.alias = None
-            self.c2s = stats_mod.cum2sym(cum_freqs, self.scale)
+            # the linear cum2sym table is O(M) memory (main.cpp:145-148);
+            # beyond 2^20 slots (RANS64 allows prob_bits 31) use a binary
+            # search on cum instead -- same slot -> symbol map
+            self.c2s = (stats_mod.cum2sym(cum_freqs, self.scale)
+                        if self.scale <= 20 else None)
 
     # -- encode-side state transitions (vectorized over lanes) --
 
@@ -118,7 +122,13 @@ class LaneCoder:
             nx = a.slot_freqs[b2] * (x >> _U64(self.scale)) + slot \
                 - a.slot_adjust[b2]
             return a.sym_id[b2].astype(np.int64), nx
-        s = self.c2s[slot.astype(np.int64)].astype(np.int64)
+        if self.c2s is not None:
+            s = self.c2s[slot.astype(np.int64)].astype(np.int64)
+        else:
+            # minimal s with cum[s+1] > slot (rank search; exact analog of
+            # the table for any model incl. absent-symbol runs)
+            s = np.searchsorted(self.cum[1:257].astype(np.uint64),
+                                slot, side="right").astype(np.int64)
         nx = self.freqs[s] * (x >> _U64(self.scale)) + slot - self.cum[s]
         return s, nx
 

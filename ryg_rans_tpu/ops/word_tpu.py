@@ -6,8 +6,9 @@ TPU-native re-design of the reference's SIMD decoder (rans_word_sse41.h):
 * the reference's 8 interleaved states in two SSE registers become
   ``N = R * 128`` states in R vreg rows (R=32 -> 4096 lanes);
 * its two-table slot lookup (slots[] + slot2sym[], rans_word_sse41.h:58-61)
-  becomes ONE packed (freq-1|bias|sym) uint32 table swept with lane gathers
-  (models/tables.pack_word_slots);
+  becomes a two-level packed lookup -- cum2sym 4 symbols/int32 plus a
+  per-symbol (freq-1|cum) row (ops/host_prep.pack_sym4_fc), which needs
+  3x fewer gather rows than a one-level slot table;
 * its movemask + shuffle-LUT renorm (rans_word_sse41.h:182-227) becomes a
   branchless mask -> triangular-matmul prefix sum (MXU) -> window gather;
 * the encoder, scalar in the reference (main_simd.cpp:306), is vectorized
@@ -39,7 +40,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RansConfig, Variant
-from ..models import tables as tables_mod
 from . import host_prep
 from . import lanes
 
@@ -147,14 +147,14 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
         if s4rows > 16:
             # binary search on cum beats the 4-packed cum2sym sweep once
             # the slot table exceeds 16 rows (prob_bits >= 14)
-            sym = lanes.cum2sym_bisect(fc, slot, (R, 128))
+            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128))
         else:
             # two-level symbol lookup
             s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
                                     (R, 128))
             sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
         e = lanes.table_lookup(fc, sym, 2, (R, 128))
-        freq = lanes.srl(e, 16)
+        freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
         cumv = e & 0xFFFF
         spk = spk | (sym << (8 * k))
         # advance: x = freq*(x>>sb) + (slot - cum)  (rans_word_sse41.h:126)
@@ -255,7 +255,7 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [
-            pl.BlockSpec((2, 128), lambda b: (0, 0),
+            pl.BlockSpec((4, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -274,45 +274,57 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
 
 
 def _encode_kernel(enc_ref, in_ref, emit_ref, xout_ref, *, T4: int, R: int,
-                   sb: int):
+                   sb: int, ilp: int = 1):
     """Walk steps in reverse (rANS twist #1, rans_byte.h:22-23), emitting a
     dense (word | valid<<16) cell per (step, lane)."""
     enc = enc_ref[:]
     L_SHIFT = 32 - sb  # x_max = freq << (16 - sb + 16)  (rans_word_sse41.h:85)
 
-    def body(i4, x):
-        t4 = T4 - 1 - i4
-        spk = in_ref[pl.ds(t4 * R, R), :]
-        for k in (3, 2, 1, 0):
-            sym = lanes.srl(spk, 8 * k) & 0xFF
-            e = lanes.table_lookup(enc, sym, 2, (R, 128))
-            freq = lanes.srl(e, 16)
-            start = e & 0xFFFF
-            thm1 = (freq << L_SHIFT) - 1  # wraps to 0xFFFFFFFF for freq=M
-            m = (x ^ lanes.I32_MIN) > (thm1 ^ lanes.I32_MIN)  # x >= freq<<sh
-            emit_ref[pl.ds((4 * t4 + k) * R, R), :] = jnp.where(
-                m, (x & 0xFFFF) | 0x10000, 0)
-            x = jnp.where(m, lanes.srl(x, 16), x)
-            q, r = lanes.exact_div(x, freq)
-            x = (q << sb) + r + start
-        return x
+    def substep(x, spk, k, t4, eoff):
+        sym = lanes.srl(spk, 8 * k) & 0xFF
+        e = lanes.table_lookup(enc, sym, 2, (R, 128))
+        freq = lanes.srl(e, 16)
+        start = e & 0xFFFF
+        thm1 = (freq << L_SHIFT) - 1  # wraps to 0xFFFFFFFF for freq=M
+        m = (x ^ lanes.I32_MIN) > (thm1 ^ lanes.I32_MIN)  # x >= freq<<sh
+        emit_ref[pl.ds(eoff + (4 * t4 + k) * R, R), :] = jnp.where(
+            m, (x & 0xFFFF) | 0x10000, 0)
+        x = jnp.where(m, lanes.srl(x, 16), x)
+        q, r = lanes.exact_div(x, freq)
+        return (q << sb) + r + start
 
-    x = jax.lax.fori_loop(0, T4, body, jnp.full((R, 128), 1 << 16, jnp.int32))
-    xout_ref[:] = x
+    def body(i4, xs):
+        xs = list(xs)
+        t4 = T4 - 1 - i4
+        spks = [in_ref[pl.ds((j * T4 + t4) * R, R), :] for j in range(ilp)]
+        for k in (3, 2, 1, 0):
+            # ilp independent blocks interleave their dependency chains
+            # (block-level 2-way interleave; see the decode kernel)
+            for j in range(ilp):
+                xs[j] = substep(xs[j], spks[j], k, t4, j * 4 * T4 * R)
+        return tuple(xs)
+
+    xs = jax.lax.fori_loop(
+        0, T4, body,
+        tuple(jnp.full((R, 128), 1 << 16, jnp.int32) for _ in range(ilp)))
+    for j in range(ilp):
+        xout_ref[pl.ds(j * R, R), :] = xs[j]
 
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "n_blocks",
-                                             "interpret"))
+                                             "interpret", "ilp"))
 def encode_blocks(enc_rows, syms_packed, *, T4: int, R: int, sb: int,
-                  n_blocks: int, interpret: bool = False):
+                  n_blocks: int, interpret: bool = False, ilp: int = 1):
     """Grid dense encode.  syms_packed: (n_blocks*T4*R, 128).
     Returns (emit (n_blocks*4*T4*R,128) i32, final states (n_blocks*R,128))."""
     if not interpret and R < 2:
         raise ValueError("compiled TPU encode needs n_lanes >= 256 "
                          "(Mosaic lane-gathers reject single-sublane shapes)")
+    if n_blocks % ilp:
+        raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
     return pl.pallas_call(
-        functools.partial(_encode_kernel, T4=T4, R=R, sb=sb),
-        grid=(n_blocks,),
+        functools.partial(_encode_kernel, T4=T4, R=R, sb=sb, ilp=ilp),
+        grid=(n_blocks // ilp,),
         out_shape=(
             jax.ShapeDtypeStruct((n_blocks * 4 * T4 * R, 128), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks * R, 128), jnp.int32),
@@ -320,13 +332,13 @@ def encode_blocks(enc_rows, syms_packed, *, T4: int, R: int, sb: int,
         in_specs=[
             pl.BlockSpec((2, 128), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T4 * R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((4 * T4 * R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * 4 * T4 * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda b: (b, 0),
+            pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
@@ -473,7 +485,8 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
         T4 = T // 4
         spk = pack_symbols(jnp.asarray(chunk), T4, R, n_blocks)
         emit, xf = encode_blocks(enc_rows, spk, T4=T4, R=R, sb=cfg.prob_bits,
-                                 n_blocks=n_blocks, interpret=interpret)
+                                 n_blocks=n_blocks, interpret=interpret,
+                                 ilp=2 if n_blocks % 2 == 0 else 1)
         cap = T * N  # <=1 word per symbol
         words, n_words = compact_emissions(emit, xf, cap, n_blocks)
         words_np = np.asarray(words)

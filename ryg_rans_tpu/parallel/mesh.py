@@ -137,47 +137,102 @@ def roundtrip_step(mesh: Mesh, cfg: RansConfig, data_u8, freqs, cum_freqs,
                    interpret: bool = False):
     """One full sharded encode->decode step (the framework's analog of a
     'training step' for the multi-chip dry run): pack, encode, compact,
-    re-prepare, decode, unpack -- all block-sharded over the mesh.
+    re-prepare, decode, unpack -- all block-sharded over the mesh, for ANY
+    variant (WORD / BYTE / ALIAS / RANS64).
 
     data_u8 must be padded to n_blocks * block_symbols with
-    n_blocks % mesh.size == 0.  Returns the decoded bytes (sharded array).
+    n_blocks % mesh.size == 0.  Returns (decoded bytes (sharded array),
+    (compacted word buffers, per-block counts)).
     """
+    from ..config import Variant
+    from ..ops import byte_tpu, rans64_tpu
+
     R = cfg.n_lanes // 128
     N = cfg.n_lanes
     B = cfg.block_symbols
     n_blocks = data_u8.size // B
     T4 = B // N // 4
-    cap_words = B
-    cap_rows = word_tpu.decode_cap_rows(2 * N + B, R)
+    ndev = mesh.devices.size
+    if n_blocks % ndev:
+        raise ValueError(f"n_blocks={n_blocks} not divisible by {ndev}")
+    per = n_blocks // ndev
+    ilp = 2 if per % 2 == 0 else 1
+    sb = cfg.prob_bits
+    variant = cfg.variant
 
-    enc_rows = jnp.asarray(word_tpu.pack_enc_rows(freqs, cum_freqs,
-                                                  cfg.prob_bits))
-    s4, fc = word_tpu.pack_dec_rows2(freqs, cum_freqs, cfg.prob_bits)
-    sym4_rows, fc_rows = jnp.asarray(s4), jnp.asarray(fc)
+    # Per-variant tables (replicated) and capacities.  The whole
+    # encode->compact->prep->decode pipeline runs inside ONE shard_map body:
+    # zero communication in the hot loop (SURVEY.md §2.8).
+    if variant == Variant.WORD:
+        enc_tabs = (jnp.asarray(word_tpu.pack_enc_rows(freqs, cum_freqs,
+                                                       sb)),)
+        s4, fc = word_tpu.pack_dec_rows2(freqs, cum_freqs, sb)
+        dec_tabs = (jnp.asarray(s4), jnp.asarray(fc))
+        cap_units = B                     # <=1 u16 word per symbol
+        cap_rows = word_tpu.decode_cap_rows(2 * N + B, R)
+    elif variant in (Variant.BYTE, Variant.ALIAS):
+        enc_tabs = byte_tpu.enc_tables(cfg, freqs, cum_freqs)
+        dec_tabs = byte_tpu.dec_tables(cfg, freqs, cum_freqs)
+        cap_units = 2 * B                 # <=2 bytes per symbol
+        cap_rows = byte_tpu.decode_cap_rows(4 * N + 2 * B, R)
+    else:
+        recip = sb > 16
+        enc_tabs = (jnp.asarray(
+            rans64_tpu.pack_enc_tables_recip(freqs, cum_freqs, sb) if recip
+            else rans64_tpu.pack_enc_tables(freqs, cum_freqs)),)
+        s4, fc = rans64_tpu.pack_dec_tables(freqs, cum_freqs, sb)
+        dec_tabs = ((jnp.asarray(s4),) if s4 is not None else ()) \
+            + (jnp.asarray(fc),)
+        cap_units = B                     # <=1 u32 word per symbol
+        cap_rows = rans64_tpu.decode_cap_rows(2 * N + B, R)
+
+    def device_step(*args):
+        spk = args[-1]
+        n_enc = len(enc_tabs)
+        etabs = args[:n_enc]
+        dtabs = args[n_enc:-1]
+        if variant == Variant.WORD:
+            emit, xf = word_tpu.encode_blocks(
+                etabs[0], spk, T4=T4, R=R, sb=sb, n_blocks=per,
+                interpret=interpret, ilp=ilp)
+            words, n_words = word_tpu.compact_emissions(emit, xf, cap_units,
+                                                        per)
+            x0, stream = word_tpu.prep_decode(words, R, cap_rows, per)
+            spk_out = word_tpu.decode_blocks(
+                *dtabs, x0, stream, T4=T4, R=R, sb=sb, cap_rows=cap_rows,
+                n_blocks=per, interpret=interpret, ilp=ilp)
+        elif variant in (Variant.BYTE, Variant.ALIAS):
+            alias = variant == Variant.ALIAS
+            emit, xf = byte_tpu.encode_blocks(
+                etabs, spk, T4=T4, R=R, sb=sb, n_blocks=per, alias=alias,
+                interpret=interpret, ilp=ilp)
+            words, n_words = byte_tpu.compact_emissions(emit, xf, cap_units,
+                                                        per)
+            x0, stream = byte_tpu.prep_decode(words, R, cap_rows, per)
+            spk_out = byte_tpu.decode_blocks(
+                dtabs, x0, stream, T4=T4, R=R, sb=sb, cap_rows=cap_rows,
+                n_blocks=per, alias=alias, interpret=interpret, ilp=ilp)
+        else:
+            ew, ev, xlo, xhi = rans64_tpu.encode_blocks(
+                etabs[0], spk, T4=T4, R=R, sb=sb, n_blocks=per,
+                interpret=interpret, ilp=ilp, recip=sb > 16)
+            words, n_words = rans64_tpu.compact_emissions(ew, ev, xlo, xhi,
+                                                          cap_units, per)
+            x0lo, x0hi, stream = rans64_tpu.prep_decode(words, R, cap_rows,
+                                                        per)
+            s4a = dtabs[0] if len(dtabs) == 2 else None
+            spk_out = rans64_tpu.decode_blocks(
+                s4a, dtabs[-1], x0lo, x0hi, stream, T4=T4, R=R, sb=sb,
+                cap_rows=cap_rows, n_blocks=per, interpret=interpret,
+                ilp=ilp)
+        out = word_tpu.unpack_symbols(spk_out, T4, R, per)
+        return out, words, n_words
 
     spk = word_tpu.pack_symbols(data_u8, T4, R, n_blocks)
-    spk = jax.device_put(
-        spk, NamedSharding(mesh, P(DATA_AXIS)))
-    emit, xf = encode_blocks_sharded(mesh, enc_rows, spk, T4=T4, R=R,
-                                     sb=cfg.prob_bits, n_blocks=n_blocks,
-                                     interpret=interpret)
-    words, n_words = compact_sharded(mesh, emit, xf, cap_words, n_blocks)
-
-    ndev = mesh.devices.size
-    per = n_blocks // ndev
-
-    def prep(w):
-        return word_tpu.prep_decode(w, R, cap_rows, per)
-
-    x0, stream2 = shard_map(prep, mesh, in_specs=P(DATA_AXIS),
-                            out_specs=(P(DATA_AXIS), P(DATA_AXIS)))(words)
-    spk_out = decode_blocks_sharded(
-        mesh, sym4_rows, fc_rows, x0, stream2, T4=T4, R=R, sb=cfg.prob_bits,
-        cap_rows=cap_rows, n_blocks=n_blocks, interpret=interpret)
-
-    def unpack(s):
-        return word_tpu.unpack_symbols(s, T4, R, per)
-
-    out = shard_map(unpack, mesh, in_specs=P(DATA_AXIS),
-                    out_specs=P(DATA_AXIS))(spk_out)
+    spk = jax.device_put(spk, NamedSharding(mesh, P(DATA_AXIS)))
+    n_tabs = len(enc_tabs) + len(dec_tabs)
+    f = shard_map(device_step, mesh,
+                  in_specs=tuple([P()] * n_tabs) + (P(DATA_AXIS),),
+                  out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)))
+    out, words, n_words = f(*enc_tabs, *dec_tabs, spk)
     return out, (words, n_words)

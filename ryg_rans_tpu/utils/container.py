@@ -12,7 +12,8 @@ need one, so this defines it:
     6       1     prob_bits
     7       1     log2(n_lanes)
     8       1     log2(lanes_per_stream)
-    9       1     flags (bit0: per-block crc32 of the original bytes)
+    9       1     flags (bit0: per-block crc32 of the original bytes;
+                  bit1: raw-block bitmap present)
     10      2     reserved (0)
     12      4     n_blocks (u32)
     16      8     orig_len in bytes (u64)
@@ -21,11 +22,18 @@ need one, so this defines it:
     32      1024  freqs u32[256] (normalized to sum 1<<prob_bits)
     1056    4*n_blocks*n_streams   per-substream word counts (u32)
     ...     4*n_blocks             crc32 per block (if flag bit0)
+    ...     ceil(n_blocks/8)       raw bitmap, LSB-first (if flag bit1)
     ...     payload: per block, per substream, word-aligned little-endian
 
 Every block's symbol payload is the block's bytes padded to a multiple of
 4*n_lanes with the most frequent symbol (kernel steps stay mask-free); the
 padding is stripped on decode using orig_len.
+
+Raw blocks (flag bit1): a block whose coded payload would be at least as
+large as its original bytes is stored as those bytes verbatim -- the
+container-level form of the reference's raw-byte escape hatch for
+incompressible data (rans_byte.h:28-35, stream twist #3).  A raw block's
+counts row is [n_raw_bytes, 0, ...] and its payload is unpadded uint8.
 """
 
 from __future__ import annotations
@@ -44,6 +52,7 @@ _HEADER = struct.Struct("<4sBBBBBBHIQII")
 assert _HEADER.size == 32
 
 FLAG_CRC = 1
+FLAG_RAW = 2
 
 
 @dataclasses.dataclass
@@ -54,6 +63,9 @@ class Container:
     stream_words: np.ndarray           # u32 [n_blocks, n_streams]
     crcs: np.ndarray | None            # u32 [n_blocks] or None
     payloads: list[list[np.ndarray]]   # [block][substream] word arrays
+    #: raw[b] -> block b stored as verbatim uint8 bytes (payloads[b] is a
+    #: single unpadded uint8 array); None/absent -> all blocks coded
+    raw: np.ndarray | None = None
 
     @property
     def padded_len(self) -> int:
@@ -80,11 +92,14 @@ def word_dtype(variant: Variant):
 
 def pack_header(cfg: RansConfig, orig_len: int, freqs: np.ndarray,
                 stream_words: np.ndarray,
-                crcs: np.ndarray | None = None) -> bytes:
+                crcs: np.ndarray | None = None,
+                raw: np.ndarray | None = None) -> bytes:
     """Everything before the payload bytes (header + freqs + per-substream
-    word counts + optional CRCs); used by the streaming writer."""
+    word counts + optional CRCs + optional raw bitmap); used by the
+    streaming writer."""
     n_blocks = stream_words.shape[0] if stream_words.size else 0
-    flags = FLAG_CRC if crcs is not None else 0
+    flags = (FLAG_CRC if crcs is not None else 0) \
+        | (FLAG_RAW if raw is not None and np.any(raw) else 0)
     head = _HEADER.pack(
         MAGIC, VERSION, int(cfg.variant), cfg.prob_bits,
         cfg.n_lanes.bit_length() - 1, cfg.lanes_per_stream.bit_length() - 1,
@@ -93,19 +108,25 @@ def pack_header(cfg: RansConfig, orig_len: int, freqs: np.ndarray,
              np.asarray(stream_words, np.uint32).tobytes()]
     if crcs is not None:
         parts.append(np.asarray(crcs, np.uint32).tobytes())
+    if flags & FLAG_RAW:
+        parts.append(np.packbits(
+            np.asarray(raw, bool), bitorder="little").tobytes())
     return b"".join(parts)
 
 
 def pack(cfg: RansConfig, orig_len: int, freqs: np.ndarray,
          payloads: list[list[np.ndarray]],
-         crcs: np.ndarray | None = None) -> bytes:
-    counts = np.array(
-        [[s.size for s in blk] for blk in payloads], np.uint32)
-    parts = [pack_header(cfg, orig_len, freqs, counts, crcs)]
+         crcs: np.ndarray | None = None,
+         raw: np.ndarray | None = None) -> bytes:
+    counts = np.zeros((len(payloads), cfg.n_streams), np.uint32)
+    for b, blk in enumerate(payloads):
+        counts[b, :len(blk)] = [s.size for s in blk]
+    parts = [pack_header(cfg, orig_len, freqs, counts, crcs, raw)]
     wdt = word_dtype(cfg.variant)
-    for blk in payloads:
+    for b, blk in enumerate(payloads):
+        dt = np.uint8 if raw is not None and raw[b] else wdt
         for s in blk:
-            parts.append(np.ascontiguousarray(s, wdt).tobytes())
+            parts.append(np.ascontiguousarray(s, dt).tobytes())
     return b"".join(parts)
 
 
@@ -134,8 +155,16 @@ def read_header(f) -> tuple["Container", int]:
     if flags & FLAG_CRC:
         crcs = np.frombuffer(f.read(4 * n_blocks), np.uint32).copy()
         off += 4 * n_blocks
+    raw = None
+    if flags & FLAG_RAW:
+        nb_bytes = (n_blocks + 7) // 8
+        raw = np.unpackbits(
+            np.frombuffer(f.read(nb_bytes), np.uint8),
+            bitorder="little")[:n_blocks].astype(bool)
+        off += nb_bytes
     return Container(cfg=cfg, orig_len=orig_len, freqs=freqs,
-                     stream_words=counts, crcs=crcs, payloads=[]), off
+                     stream_words=counts, crcs=crcs, payloads=[],
+                     raw=raw), off
 
 
 def unpack(blob: bytes | memoryview) -> Container:
@@ -164,21 +193,30 @@ def unpack(blob: bytes | memoryview) -> Container:
     if flags & FLAG_CRC:
         crcs = np.frombuffer(blob[off:off + 4 * n_blocks], np.uint32).copy()
         off += 4 * n_blocks
+    raw = None
+    if flags & FLAG_RAW:
+        nb_bytes = (n_blocks + 7) // 8
+        raw = np.unpackbits(
+            np.frombuffer(blob[off:off + nb_bytes], np.uint8),
+            bitorder="little")[:n_blocks].astype(bool)
+        off += nb_bytes
     wdt = word_dtype(cfg.variant)
-    wsize = np.dtype(wdt).itemsize
     payloads: list[list[np.ndarray]] = []
     for b in range(n_blocks):
+        dt = np.uint8 if raw is not None and raw[b] else wdt
+        wsize = np.dtype(dt).itemsize
         blk = []
         for s in range(ns):
             n = int(counts[b, s])
-            blk.append(np.frombuffer(blob[off:off + n * wsize], wdt).copy())
+            blk.append(np.frombuffer(blob[off:off + n * wsize], dt).copy())
             off += n * wsize
         payloads.append(blk)
     if off != len(blob):
         raise ValueError(
             f"container size mismatch: parsed {off} of {len(blob)} bytes")
     return Container(cfg=cfg, orig_len=orig_len, freqs=freqs,
-                     stream_words=counts, crcs=crcs, payloads=payloads)
+                     stream_words=counts, crcs=crcs, payloads=payloads,
+                     raw=raw)
 
 
 def crc32(data: np.ndarray) -> int:

@@ -59,6 +59,8 @@ def compress_file(src: str, dst: str, cfg: RansConfig | None = None,
     be = api._pick_backend(cfg, backend, orig_len)
     word_counts: list[list[int]] = []
     crcs: list[int] = [] if cfg.checksum else None
+    raw_flags: list[bool] = []
+    wsize = np.dtype(cont.word_dtype(cfg.variant)).itemsize
 
     tmp_fd, tmp_path = tempfile.mkstemp(dir=os.path.dirname(
         os.path.abspath(dst)) or ".")
@@ -73,14 +75,23 @@ def compress_file(src: str, dst: str, cfg: RansConfig | None = None,
                     arr[:len(raw)] = np.frombuffer(raw, np.uint8)
                 payloads = api._encode_payloads(cfg, be, arr, freqs, cum)
                 for i, blk in enumerate(payloads):
-                    word_counts.append([s.size for s in blk])
-                    for s in blk:
-                        ftmp.write(np.ascontiguousarray(
-                            s, cont.word_dtype(cfg.variant)).tobytes())
+                    off = read + i * B
+                    end = min(off + B, orig_len)
+                    n_orig = end - off
+                    if sum(s.size for s in blk) * wsize >= n_orig:
+                        # raw-block fallback (see api.compress)
+                        raw_flags.append(True)
+                        word_counts.append(
+                            [n_orig] + [0] * (cfg.n_streams - 1))
+                        ftmp.write(arr[i * B:i * B + n_orig].tobytes())
+                    else:
+                        raw_flags.append(False)
+                        word_counts.append([s.size for s in blk])
+                        for s in blk:
+                            ftmp.write(np.ascontiguousarray(
+                                s, cont.word_dtype(cfg.variant)).tobytes())
                     if cfg.checksum:
-                        off = read + i * B
-                        end = min(off + B, orig_len)
-                        crcs.append(cont.crc32(arr[i * B:i * B + end - off])
+                        crcs.append(cont.crc32(arr[i * B:i * B + n_orig])
                                     if off < orig_len else 0)
                 read += want
 
@@ -88,7 +99,8 @@ def compress_file(src: str, dst: str, cfg: RansConfig | None = None,
             head = cont.pack_header(cfg, orig_len, freqs,
                                     np.asarray(word_counts, np.uint32),
                                     np.asarray(crcs, np.uint32)
-                                    if crcs is not None else None)
+                                    if crcs is not None else None,
+                                    np.asarray(raw_flags, bool))
             fout.write(head)
             with open(tmp_path, "rb") as ftmp:
                 while True:
@@ -117,7 +129,6 @@ def decompress_file(src: str, dst: str, backend: str = "auto",
         cum = stats.calc_cum_freqs(freqs)
         be = api._pick_backend(cfg, backend, meta.orig_len)
         B = cfg.block_symbols
-        wsize = np.dtype(cont.word_dtype(cfg.variant)).itemsize
         sizes = meta.block_sizes()
 
         f.seek(payload_off)
@@ -128,15 +139,18 @@ def decompress_file(src: str, dst: str, backend: str = "auto",
                 batch = list(range(b, min(b + blocks_per_batch, len(sizes))))
                 payloads = []
                 for bi in batch:
+                    is_raw = meta.raw is not None and meta.raw[bi]
+                    dt = np.uint8 if is_raw else cont.word_dtype(cfg.variant)
+                    ws = np.dtype(dt).itemsize
                     blk = []
                     for s in range(cfg.n_streams):
                         n = int(meta.stream_words[bi, s])
-                        blk.append(np.frombuffer(f.read(n * wsize),
-                                                 cont.word_dtype(cfg.variant)))
+                        blk.append(np.frombuffer(f.read(n * ws), dt))
                     payloads.append(blk)
-                out = api._decode_payloads(cfg, be, payloads,
-                                           [sizes[bi] for bi in batch],
-                                           freqs, cum)
+                out = api._decode_payloads(
+                    cfg, be, payloads, [sizes[bi] for bi in batch],
+                    freqs, cum,
+                    meta.raw[batch] if meta.raw is not None else None)
                 for bi, arr in zip(batch, out):
                     off = bi * B
                     end = min(off + sizes[bi], meta.orig_len)

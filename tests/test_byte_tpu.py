@@ -19,7 +19,8 @@ def _cfg(variant, n_lanes=128, block_symbols=1 << 13):
 
 
 @pytest.mark.parametrize("variant", [Variant.BYTE, Variant.ALIAS])
-@pytest.mark.parametrize("size", [2048, 9000])
+# 17000 spans two full blocks -> exercises the encode kernel's ilp=2 path
+@pytest.mark.parametrize("size", [2048, 9000, 17000])
 def test_tpu_encode_matches_oracle(book1_head, variant, size):
     cfg = _cfg(variant)
     data = book1_head[:size]
@@ -67,19 +68,58 @@ def test_tpu_decodes_oracle_stream(book1_head, variant):
     assert np.array_equal(dec[:orig], data)
 
 
-def test_alias_segments_reproduce_remap(book1_head):
-    """The segment decomposition must reproduce alias_remap exactly."""
-    sb = 16
+@pytest.mark.parametrize("sb", [12, 16])
+def test_alias_segments_reproduce_remap(book1_head, sb):
+    """The packed segment decomposition must reproduce alias_remap exactly
+    (entry e at (e & 3, e >> 2), value (delta mod M) << 16 | start, pad =
+    repeat of the last segment)."""
     freqs, cum = stats.build_model(book1_head, sb)
     tab = alias_mod.make_alias_tables(freqs, cum, sb)
-    ss, sd = byte_tpu.build_alias_segments(freqs, cum, sb)
-    starts = ss.reshape(-1).astype(np.int64)
-    deltas = sd.reshape(-1).astype(np.int64)
+    sp = byte_tpu.build_alias_segments(freqs, cum, sb)
+    assert sp.shape == (4, 128) and sp.dtype == np.int32
+    packed = sp.view(np.uint32).T.reshape(-1)  # entry order
+    starts = (packed & 0xFFFF).astype(np.int64)
+    dmod = (packed >> 16).astype(np.int64)
+    assert np.all(np.diff(starts) >= 0)  # sorted incl. pad repeats
     M = 1 << sb
     idx = np.arange(M, dtype=np.int64)
     seg = np.searchsorted(starts, idx, side="right") - 1
-    got = idx + deltas[seg]
+    got = (idx + dmod[seg]) % M
     assert np.array_equal(got, tab.alias_remap.astype(np.int64))
+
+
+@pytest.mark.parametrize("pb", [15, 16])
+def test_byte_high_precision_roundtrip(book1_head, pb):
+    """BYTE at the reference's full prob_bits range (rans_byte.h:176 allows
+    <= 16); freq-1 fc packing keeps the 16-bit field exact."""
+    cfg = RansConfig(variant=Variant.BYTE, prob_bits=pb, n_lanes=128,
+                     lanes_per_stream=128, block_symbols=4096)
+    data = book1_head[:8192]
+    freqs, cum = stats.build_model(data, pb)
+    blocks, padded_size = byte_tpu.encode(cfg, data, freqs, cum,
+                                          interpret=True)
+    ref = oracle.encode(cfg, data[:4096], freqs, cum)[0]
+    assert np.array_equal(blocks[0], ref)
+    dec = byte_tpu.decode(cfg, blocks, padded_size, freqs, cum,
+                          interpret=True)
+    assert np.array_equal(dec[:data.size], data)
+
+
+def test_byte_single_symbol_model_pb16():
+    """Degenerate all-one-symbol data at prob_bits 16: freq = 2^16 must
+    survive the freq-1 packing on both encode and decode tables."""
+    cfg = RansConfig(variant=Variant.BYTE, prob_bits=16, n_lanes=128,
+                     lanes_per_stream=128, block_symbols=4096)
+    data = np.full(4096, 55, np.uint8)
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+    assert int(freqs[55]) == 1 << 16
+    blocks, padded_size = byte_tpu.encode(cfg, data, freqs, cum,
+                                          interpret=True)
+    ref = oracle.encode(cfg, data, freqs, cum)[0]
+    assert np.array_equal(blocks[0], ref)
+    dec = byte_tpu.decode(cfg, blocks, padded_size, freqs, cum,
+                          interpret=True)
+    assert np.array_equal(dec[:data.size], data)
 
 
 def test_byte_renorm_worst_case(rng):

@@ -52,12 +52,37 @@ def test_all_symbols_uniform(variant, rng):
 
 
 def test_incompressible_data(rng):
-    """Random bytes: compressed size may exceed input; must still
-    round-trip (the capacity bounds hold at freq ~ uniform)."""
+    """Random bytes: the raw-block fallback (reference stream twist #3,
+    rans_byte.h:28-35) bounds the container to input + header overhead."""
     data = rng.integers(0, 256, 20000, dtype=np.uint8).tobytes()
     for variant in VARIANTS:
         blob = api.compress(data, _cfg(variant), backend="numpy")
         assert api.decompress(blob, backend="numpy") == data
+        # header(32) + freqs(1024) + counts/crcs/bitmap: generous 4 KiB cap
+        assert len(blob) <= len(data) + 4096
+
+
+def test_raw_block_fallback_mixed(rng, book1_head):
+    """Compressible and incompressible blocks mixed in one container:
+    only the random blocks go raw; round-trip and random access hold."""
+    from ryg_rans_tpu.utils import container as cont
+
+    cfg = _cfg(Variant.WORD)
+    B = cfg.block_symbols
+    data = (book1_head[:B].tobytes()
+            + rng.integers(0, 256, B, dtype=np.uint8).tobytes()
+            + book1_head[:B // 2].tobytes())
+    blob = api.compress(data, cfg, backend="numpy")
+    c = cont.unpack(blob)
+    assert c.raw is not None and list(c.raw) == [False, True, False]
+    assert api.decompress(blob, backend="numpy") == data
+    for b in range(3):
+        off = b * B
+        assert api.decompress_block(blob, b, backend="numpy") == \
+            data[off:off + B]
+    if native.available():
+        assert api.compress(data, cfg, backend="native") == blob
+        assert api.decompress(blob, backend="native") == data
 
 
 @pytest.mark.parametrize("variant", [Variant.WORD, Variant.BYTE])

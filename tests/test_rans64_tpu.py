@@ -16,7 +16,8 @@ def _cfg(n_lanes=128, block_symbols=1 << 13, prob_bits=14):
                       block_symbols=block_symbols)
 
 
-@pytest.mark.parametrize("size", [2048, 9000])
+# 17000 spans two full blocks -> exercises the encode kernel's ilp=2 path
+@pytest.mark.parametrize("size", [2048, 9000, 17000])
 def test_tpu_encode_matches_oracle(book1_head, size):
     cfg = _cfg()
     data = book1_head[:size]
@@ -75,3 +76,59 @@ def test_skewed_model_roundtrip(rng):
     dec = rans64_tpu.decode(cfg, blocks, padded_size, freqs, cum,
                             interpret=True)
     assert np.array_equal(dec[:data.size], data)
+
+
+@pytest.mark.parametrize("pb", [16, 20, 24, 31])
+def test_high_precision_encode_and_roundtrip(book1_head, pb):
+    """The reference's defining RANS64 feature: prob_bits up to 31
+    (rans64.h:169).  pb > 16 exercises two-limb frequencies on decode and
+    the 64-bit Alverson reciprocal on encode; streams must be byte-exact
+    vs the oracle."""
+    cfg = _cfg(block_symbols=4096, prob_bits=pb)
+    data = book1_head[:4096]
+    freqs, cum = stats.build_model(data, pb)
+    blocks, padded_size = rans64_tpu.encode(cfg, data, freqs, cum,
+                                            interpret=True)
+    ref = oracle.encode(cfg, data, freqs, cum)[0]
+    assert np.array_equal(blocks[0], ref)
+    dec = rans64_tpu.decode(cfg, blocks, padded_size, freqs, cum,
+                            interpret=True)
+    assert np.array_equal(dec[:data.size], data)
+
+
+@pytest.mark.parametrize("pb", [31])
+def test_high_precision_skewed_model(rng, pb):
+    """freq=1 symbols at prob_bits 31: reciprocal freq<2 special case
+    (rcp=~0, bias=start+M-1, rans64.h:199-228) and 31-bit cum values."""
+    cfg = _cfg(block_symbols=4096, prob_bits=pb)
+    data = np.zeros(4096, np.uint8)
+    ridx = rng.integers(0, data.size, 200)
+    data[ridx] = rng.integers(1, 256, 200).astype(np.uint8)
+    freqs, cum = stats.build_model(data, pb)
+    blocks, padded_size = rans64_tpu.encode(cfg, data, freqs, cum,
+                                            interpret=True)
+    ref = oracle.encode(cfg, data, freqs, cum)[0]
+    assert np.array_equal(blocks[0], ref)
+    dec = rans64_tpu.decode(cfg, blocks, padded_size, freqs, cum,
+                            interpret=True)
+    assert np.array_equal(dec[:data.size], data)
+
+
+def test_recip_matches_div_encode(book1_head):
+    """At low prob_bits both encode paths must produce identical streams
+    (VERDICT r1 #7 A/B: reciprocal vs fp32 exact_div)."""
+    import jax.numpy as jnp
+    from ryg_rans_tpu.ops import word_tpu
+
+    pb, R, T4 = 14, 1, 8
+    data = book1_head[:4 * T4 * 128]
+    freqs, cum = stats.build_model(data, pb)
+    spk = word_tpu.pack_symbols(jnp.asarray(data), T4, R, 1)
+    fc_div = jnp.asarray(rans64_tpu.pack_enc_tables(freqs, cum))
+    fc_rcp = jnp.asarray(rans64_tpu.pack_enc_tables_recip(freqs, cum, pb))
+    a = rans64_tpu.encode_blocks(fc_div, spk, T4=T4, R=R, sb=pb, n_blocks=1,
+                                 interpret=True, recip=False)
+    b = rans64_tpu.encode_blocks(fc_rcp, spk, T4=T4, R=R, sb=pb, n_blocks=1,
+                                 interpret=True, recip=True)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))

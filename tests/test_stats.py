@@ -103,18 +103,6 @@ def test_rans64_reciprocal_division_exact(book1_head):
         assert np.array_equal(q_exact, q_fast)
 
 
-def test_word_slot_packing(book1_head):
-    freqs, cum = stats.build_model(book1_head, 12)
-    packed = tables.pack_word_slots(freqs, cum, 12)
-    c2s = stats.cum2sym(cum, 12)
-    freq, bias, sym = tables.unpack_word_slot(packed)
-    assert np.array_equal(sym.astype(np.uint8), c2s)
-    slots = np.arange(1 << 12)
-    s = c2s.astype(np.int64)
-    assert np.array_equal(freq, freqs[s])
-    assert np.array_equal(bias, slots - cum[s])
-
-
 def test_alias_table_invariants(book1_head):
     freqs, cum = stats.build_model(book1_head, 16)
     tab = alias.make_alias_tables(freqs, cum, 16)

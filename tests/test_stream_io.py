@@ -70,3 +70,26 @@ def test_alias_variant_file(tmp_path, book1_head):
     rt = tmp_path / "rt.bin"
     stream_io.decompress_file(str(dst), str(rt), backend="numpy")
     assert rt.read_bytes() == data
+
+
+def test_file_roundtrip_raw_blocks(tmp_path, rng):
+    """Incompressible file content goes through the raw-block path in the
+    streaming writer/reader; container stays byte-identical to the
+    in-memory API's."""
+    from ryg_rans_tpu import api
+    from ryg_rans_tpu.utils import container as cont, stream_io
+
+    cfg = _cfg()
+    B = cfg.block_symbols
+    data = rng.integers(0, 256, 2 * B + B // 3, dtype=np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    dst = tmp_path / "out.trns"
+    back = tmp_path / "back.bin"
+    src.write_bytes(data)
+    stream_io.compress_file(str(src), str(dst), cfg, backend="numpy",
+                            blocks_per_batch=2)
+    blob = dst.read_bytes()
+    assert blob == api.compress(data, cfg, backend="numpy")
+    assert cont.unpack(blob).raw is not None
+    stream_io.decompress_file(str(dst), str(back), backend="numpy")
+    assert back.read_bytes() == data

@@ -15,7 +15,8 @@ def _cfg(n_lanes=128, block_symbols=1 << 13):
                       lanes_per_stream=n_lanes, block_symbols=block_symbols)
 
 
-@pytest.mark.parametrize("size", [2048, 9000])
+# 17000 spans two full blocks -> exercises the encode kernel's ilp=2 path
+@pytest.mark.parametrize("size", [2048, 9000, 17000])
 def test_tpu_encode_matches_oracle(book1_head, size):
     """The Pallas encoder must produce the oracle's exact stream for the
     same (padded) block."""
