@@ -1,4 +1,5 @@
-"""Headline benchmark: word-rANS decode throughput per chip, byte-exact.
+"""Headline benchmark: best-variant rANS decode throughput per chip,
+byte-exact.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
@@ -10,13 +11,96 @@ so the chip runs at steady state; timing uses the slope between scan-chained
 in-dispatch repetitions (2 vs 14) to exclude host/tunnel round-trip latency
 (the reference likewise times only its codec loops, main.cpp:169-186); the
 scan carry makes each repetition data-dependent so no dispatch is elided.
-Decoded output is byte-compared against the input before timing; the
-benchmark refuses to print a number for a broken codec.
+Decoded output is byte-compared against the input before timing; a variant
+that fails the round-trip scores 0.  The headline is the best of the two
+fastest variants (WORD pb=12 and ALIAS pb=16, both at R=128 = 16384 lanes,
+the tuned shape -- benchmarks/tune_word_decode.py sweep), mirroring the
+reference README which also reports its fastest configuration per workload.
 """
 
+import functools
 import json
 import sys
 import time
+
+
+def _bench_variant(variant_name: str, data, models, R: int, NB: int,
+                   BS: int):
+    """models: {prob_bits: (freqs, cum)}; returns GB/s (0.0 on mismatch)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ryg_rans_tpu.config import RansConfig, Variant
+    from ryg_rans_tpu.ops import byte_tpu, word_tpu
+
+    N = R * 128
+    SYMS = NB * BS
+    T4 = BS // N // 4
+    variant = Variant[variant_name]
+    cfg = RansConfig(variant=variant, prob_bits={"WORD": 12, "ALIAS": 16}[
+        variant_name], n_lanes=N, block_symbols=BS)
+    pb = cfg.prob_bits
+
+    if variant == Variant.WORD:
+        s4, fc = word_tpu.pack_dec_rows2(models[pb][0], models[pb][1], pb)
+        tabs = (jnp.asarray(s4), jnp.asarray(fc))
+        blocks, _ = word_tpu.encode(cfg, data, *models[pb], interpret=False)
+        cap = word_tpu.decode_cap_rows(max(b.size for b in blocks), R)
+        buf = np.zeros((NB, max(b.size for b in blocks)), np.int32)
+        for i, b in enumerate(blocks):
+            buf[i, :b.size] = b.astype(np.int32)
+        x0, st = word_tpu.prep_decode(jnp.asarray(buf), R, cap, NB)
+
+        def fn(x0, st):
+            return word_tpu.decode_blocks(*tabs, x0, st, T4=T4, R=R, sb=pb,
+                                          cap_rows=cap, n_blocks=NB, ilp=2)
+    else:
+        tabs = byte_tpu.dec_tables(cfg, *models[pb])
+        blocks, _ = byte_tpu.encode(cfg, data, *models[pb], interpret=False)
+        cap = byte_tpu.decode_cap_rows(max(b.size for b in blocks), R)
+        buf = np.zeros((NB, max(b.size for b in blocks)), np.int32)
+        for i, b in enumerate(blocks):
+            buf[i, :b.size] = b.astype(np.int32)
+        x0, st = byte_tpu.prep_decode(jnp.asarray(buf), R, cap, NB)
+
+        def fn(x0, st):
+            return byte_tpu.decode_blocks(tabs, x0, st, T4=T4, R=R, sb=pb,
+                                          cap_rows=cap, n_blocks=NB,
+                                          alias=True, ilp=2)
+
+    # correctness gate: full byte-exact round-trip before any timing
+    out = fn(x0, st)
+    dec = np.asarray(word_tpu.unpack_symbols(out, T4, R, NB))
+    if not np.array_equal(dec, data):
+        print(f"ERROR: {variant_name} round-trip mismatch", file=sys.stderr)
+        return 0.0
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def dec_many(x0, st, reps: int):
+        def one(c, i):
+            # carry-dependent input defeats loop-invariant hoisting; the
+            # scan carry makes every repetition's dispatch real work
+            x0k = jnp.where(c == jnp.int32(123456789), x0 ^ 1, x0)
+            return c ^ fn(x0k, st)[0, 0], None
+        c, _ = jax.lax.scan(one, jnp.int32(0), jnp.arange(reps))
+        return c
+
+    def run(reps):
+        r = dec_many(x0, st, reps)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = dec_many(x0, st, reps)
+        jax.block_until_ready(r)
+        return time.perf_counter() - t0
+
+    lo, hi = 2, 14
+    run(lo), run(hi)
+    # best-of-5 like the reference's harness (main.cpp:169): the shared
+    # tunnel adds run-to-run noise
+    a = min(run(lo) for _ in range(5))
+    b = min(run(hi) for _ in range(5))
+    return SYMS / ((b - a) / (hi - lo)) / 1e9
 
 
 def main():
@@ -26,17 +110,15 @@ def main():
                           np.uint8)
 
     import jax
-    import jax.numpy as jnp
 
-    from ryg_rans_tpu.config import RansConfig, Variant
     from ryg_rans_tpu.models import stats
-    from ryg_rans_tpu.ops import word_tpu
 
     on_tpu = jax.default_backend() != "cpu"
     if not on_tpu:
         # CPU fallback: bench the native host codec instead (still useful
         # signal when no TPU is attached).
         from ryg_rans_tpu import native
+        from ryg_rans_tpu.config import RansConfig, Variant
         cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=1024,
                          lanes_per_stream=128, block_symbols=1 << 20)
         freqs, cum = stats.build_model(book1, cfg.prob_bits)
@@ -53,77 +135,28 @@ def main():
                           "vs_baseline": round(gbs / 0.5508, 3)}))
         return
 
-    import functools
-
-    # R=64 (8192 lanes) measured fastest on v5e (benchmarks/tune_word_decode
-    # sweeps: 7.0 GB/s vs 5.1 at R=32, VMEM overflow at R=256).
-    R, NB, BS = 64, 32, 1 << 19
-    N = R * 128
+    # R=128 (16384 lanes) measured fastest on v5e r2 (13.0 GB/s WORD vs 9.3
+    # at R=64; benchmarks/tune_word_decode.py); R=256 fails to compile.
+    R, NB, BS = 128, 32, 1 << 19
     SYMS = NB * BS
-    cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=N,
-                     lanes_per_stream=N, block_symbols=BS)
     data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
-    freqs, cum = stats.build_model(data, cfg.prob_bits)
-    enc_rows = jnp.asarray(word_tpu.pack_enc_rows(freqs, cum, cfg.prob_bits))
-    s4, fc = word_tpu.pack_dec_rows2(freqs, cum, cfg.prob_bits)
-    sym4, fcr = jnp.asarray(s4), jnp.asarray(fc)
-    T4 = BS // N // 4
+    models = {pb: stats.build_model(data, pb) for pb in (12, 16)}
 
-    spk = word_tpu.pack_symbols(jnp.asarray(data), T4, R, NB)
-    emit, xf = word_tpu.encode_blocks(enc_rows, spk, T4=T4, R=R,
-                                      sb=cfg.prob_bits, n_blocks=NB,
-                                      interpret=False)
-    words, nw = word_tpu.compact_emissions(emit, xf, BS, NB)
-    cap_rows = word_tpu.decode_cap_rows(int(np.max(np.asarray(nw))), R)
-    X0, ST = word_tpu.prep_decode(words, R, cap_rows, NB)
-    jax.block_until_ready(ST)
+    results = {}
+    for name in ("WORD", "ALIAS"):
+        try:
+            results[name] = _bench_variant(name, data, models, R, NB, BS)
+        except Exception as e:  # pragma: no cover - variant-level guard
+            print(f"ERROR: {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            results[name] = 0.0
+        print(f"# {name}: {results[name]:.3f} GB/s", file=sys.stderr)
 
-    # correctness gate: full byte-exact round-trip
-    out = word_tpu.decode_blocks(sym4, fcr, X0, ST, T4=T4, R=R,
-                                 sb=cfg.prob_bits, cap_rows=cap_rows,
-                                 n_blocks=NB, interpret=False, ilp=2)
-    dec = np.asarray(word_tpu.unpack_symbols(out, T4, R, NB))
-    if not np.array_equal(dec, data):
-        print(json.dumps({"metric": "decode_throughput_tpu_per_chip",
-                          "value": 0.0, "unit": "GB/s",
-                          "vs_baseline": 0.0}))
-        print("ERROR: round-trip mismatch", file=sys.stderr)
-        sys.exit(1)
-
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def dec_many(X0, ST, reps: int):
-        def one(c, i):
-            # carry-dependent input defeats loop-invariant hoisting; the
-            # scan carry makes every repetition's dispatch real work
-            x0k = jnp.where(c == jnp.int32(123456789), X0 ^ 1, X0)
-            out = word_tpu.decode_blocks(sym4, fcr, x0k, ST, T4=T4, R=R,
-                                         sb=cfg.prob_bits, cap_rows=cap_rows,
-                                         n_blocks=NB, interpret=False,
-                                         ilp=2)
-            return c ^ out[0, 0], None
-        c, _ = jax.lax.scan(one, jnp.int32(0), jnp.arange(reps))
-        return c
-
-    def run(reps):
-        r = dec_many(X0, ST, reps)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        r = dec_many(X0, ST, reps)
-        jax.block_until_ready(r)
-        return time.perf_counter() - t0
-
-    lo, hi = 2, 14
-    run(lo)
-    run(hi)
-    # best-of-5 like the reference's harness (main.cpp:169): the shared
-    # tunnel adds up to ~10% run-to-run noise
-    a = min(run(lo) for _ in range(5))
-    b = min(run(hi) for _ in range(5))
-    dt = (b - a) / (hi - lo)
-    gbs = SYMS / dt / 1e9
+    gbs = max(results.values())
     print(json.dumps({"metric": "decode_throughput_tpu_per_chip",
                       "value": round(gbs, 4), "unit": "GB/s",
                       "vs_baseline": round(gbs / 0.5508, 3)}))
+    if gbs == 0.0:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -24,7 +24,8 @@ def main():
 
     book1 = np.frombuffer(open("/root/reference/book1", "rb").read(),
                           np.uint8)
-    R, NB, BS = 64, 32, 1 << 19
+    # R=128 measured fastest for every variant (r2 sweep, docs/DESIGN.md)
+    R, NB, BS = 128, 32, 1 << 19
     N = R * 128
     SYMS = NB * BS
     data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
