@@ -94,10 +94,11 @@ def _bench_variant(variant_name: str, data, models, R: int, NB: int,
         jax.block_until_ready(r)
         return time.perf_counter() - t0
 
-    lo, hi = 2, 14
+    # wide rep counts: narrow slopes can read 2-3x high on the shared
+    # tunnel (docs/DESIGN.md bench traps); best-of-5 like the reference's
+    # harness (main.cpp:169)
+    lo, hi = 4, 28
     run(lo), run(hi)
-    # best-of-5 like the reference's harness (main.cpp:169): the shared
-    # tunnel adds run-to-run noise
     a = min(run(lo) for _ in range(5))
     b = min(run(hi) for _ in range(5))
     return SYMS / ((b - a) / (hi - lo)) / 1e9

@@ -51,10 +51,12 @@ def main():
             jax.block_until_ready(r)
             return time.perf_counter() - t0
 
-        run(2), run(10)
-        a = min(run(2) for _ in range(3))
-        b = min(run(10) for _ in range(3))
-        return SYMS / ((b - a) / 8) / 1e9
+        # wide reps + best-of-5: narrow slopes occasionally read 2-3x high
+        # on the shared tunnel (docs/DESIGN.md bench traps)
+        run(4), run(28)
+        a = min(run(4) for _ in range(5))
+        b = min(run(28) for _ in range(5))
+        return SYMS / ((b - a) / 24) / 1e9
 
     for variant in (Variant.WORD, Variant.BYTE, Variant.ALIAS,
                     Variant.RANS64):

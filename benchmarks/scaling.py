@@ -11,6 +11,7 @@ check; CPU timings are not meaningful).
 """
 
 import functools
+import json
 import os
 import sys
 import time
@@ -22,6 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
+
+    # the axon TPU plugin ignores JAX_PLATFORMS from the environment, so
+    # honor a cpu request via jax.config before the backend initializes
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ryg_rans_tpu.config import RansConfig, Variant
@@ -34,11 +40,15 @@ def main():
     n_avail = len(jax.devices())
     interpret = jax.default_backend() == "cpu"
 
-    R, BS = 64, 1 << 19
+    # flagship tuned shape (docs/DESIGN.md r2 sweep); overridable so the
+    # virtual CPU mesh logic curve can run tiny interpret-mode shapes
+    R = int(os.environ.get("SCALING_R", 128))
+    BS = 1 << int(os.environ.get("SCALING_BS_LOG", 19))
     N = R * 128
-    blocks_per_dev = 16
+    blocks_per_dev = int(os.environ.get("SCALING_BLOCKS_PER_DEV", 16))
 
     base_gbs = None
+    records = []
     for ndev in [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]:
         NB = blocks_per_dev * ndev
         SYMS = NB * BS
@@ -96,6 +106,15 @@ def main():
         eff = gbs / (base_gbs * ndev) * 100
         print(f"devices={ndev:3d} roundtrip={'ok' if ok else 'FAIL'} "
               f"decode {gbs:8.3f} GB/s  efficiency {eff:5.1f}%", flush=True)
+        records.append({"devices": ndev, "platform": jax.devices()[0].platform,
+                        "roundtrip_ok": bool(ok), "decode_gbs": round(gbs, 4),
+                        "efficiency_pct": round(eff, 2)})
+
+
+    out = os.environ.get("SCALING_JSON")
+    if out:
+        with open(out, "w") as f:
+            json.dump(records, f, indent=1)
 
 
 if __name__ == "__main__":

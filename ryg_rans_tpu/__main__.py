@@ -84,14 +84,23 @@ def cmd_info(args) -> int:
     c = cont.unpack(open(args.input, "rb").read())
     cfg = c.cfg
     used = int(np.count_nonzero(c.freqs))
-    payload = int(c.stream_words.astype(np.int64).sum()
-                  * np.dtype(cont.word_dtype(cfg.variant)).itemsize)
+    wsize = np.dtype(cont.word_dtype(cfg.variant)).itemsize
+    counts = c.stream_words.astype(np.int64)
+    if c.raw is not None:
+        # raw blocks count bytes, coded blocks count variant words
+        per_block = counts.sum(axis=1)
+        payload = int(np.where(c.raw, per_block, per_block * wsize).sum())
+        n_raw = int(np.count_nonzero(c.raw))
+    else:
+        payload = int(counts.sum() * wsize)
+        n_raw = 0
     print(f"variant          {cfg.variant.name}")
     print(f"prob_bits        {cfg.prob_bits}")
     print(f"n_lanes          {cfg.n_lanes}")
     print(f"lanes_per_stream {cfg.lanes_per_stream}")
     print(f"block_symbols    {cfg.block_symbols}")
     print(f"blocks           {len(c.payloads)}")
+    print(f"raw_blocks       {n_raw}")
     print(f"orig_len         {c.orig_len}")
     print(f"payload_bytes    {payload}")
     print(f"symbols_used     {used}")

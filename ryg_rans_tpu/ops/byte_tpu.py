@@ -324,6 +324,9 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
             # stride 2 -> row 2; stride 1 -> rows {1,3}.  The winning
             # entry carries (delta mod M) in its high half, so the
             # search result IS the remap -- 11 single-row gathers total.
+            # (A 4-ary variant with 3 parallel probes/level measured
+            # SLOWER, 12.5 vs ~16 GB/s: the VPU is gather-throughput-
+            # bound here, not depth-bound.)
             idx = r + start
             lo = jnp.zeros((R, 128), jnp.int32)
             # entry 0 (start always 0 <= idx); scalar (1,1)->(R,128)

@@ -25,7 +25,12 @@ def pack_sym4_fc(freqs, cum_freqs, sb: int):
                 slot lookup, so their freq-1 underflow clamp is harmless.
       rows 2-3: cum[s+1] at full int32 width -- the bisect's search keys
                 (lanes.cum2sym_bisect).  cum[s+1] reaches M itself, which
-                no 16-bit packed field can hold at prob_bits 16.
+                no 16-bit packed field can hold at prob_bits 16.  Entries
+                are parity-interleaved -- key e at (e & 1, e >> 1) -- so
+                every bisect step's candidate lands in ONE statically
+                known row (strides >= 2 probe odd entries, the final
+                stride-1 step even ones): one gather per step instead of
+                a two-row sweep.
     """
     c2s = stats_mod.cum2sym(cum_freqs, sb).astype(np.uint32)
     s4 = (c2s[0::4] | (c2s[1::4] << 8) | (c2s[2::4] << 16)
@@ -33,20 +38,23 @@ def pack_sym4_fc(freqs, cum_freqs, sb: int):
     sym4_rows = s4.view(np.int32).reshape(-1, 128)
     f = np.maximum(np.asarray(freqs, np.uint32), 1) - 1
     fc = (f << 16) | np.asarray(cum_freqs[:256], np.uint32)
-    cn = np.asarray(cum_freqs[1:257], np.uint32)
-    fc_rows = np.concatenate([fc, cn]).view(np.int32).reshape(4, 128)
+    cn = np.asarray(cum_freqs[1:257], np.uint32).reshape(128, 2).T
+    fc_rows = np.concatenate(
+        [fc, cn.reshape(-1)]).view(np.int32).reshape(4, 128)
     return sym4_rows, fc_rows
 
 
 def pack_wide_fc(freqs, cum_freqs) -> np.ndarray:
     """Full-width decode symbol table for prob_bits > 16 (RANS64): (6,128)
     int32 with rows 0-1 = freq-1, rows 2-3 = cum, rows 4-5 = cum[s+1] (the
-    bisect keys) -- every field a full u32, since freq/cum exceed any
-    16-bit packed field beyond prob_bits 16 (rans64.h allows 31)."""
+    bisect keys, parity-interleaved like pack_sym4_fc's) -- every field a
+    full u32, since freq/cum exceed any 16-bit packed field beyond
+    prob_bits 16 (rans64.h allows 31)."""
     f = np.maximum(np.asarray(freqs, np.uint32), 1) - 1
     c = np.asarray(cum_freqs[:256], np.uint32)
-    cn = np.asarray(cum_freqs[1:257], np.uint32)
-    return np.concatenate([f, c, cn]).view(np.int32).reshape(6, 128)
+    cn = np.asarray(cum_freqs[1:257], np.uint32).reshape(128, 2).T
+    return np.concatenate(
+        [f, c, cn.reshape(-1)]).view(np.int32).reshape(6, 128)
 
 
 def pack_enc_fc_minus1(freqs, cum_freqs) -> np.ndarray:

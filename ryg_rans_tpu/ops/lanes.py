@@ -98,21 +98,29 @@ def cum2sym_bisect(cn_rows, slot, shape):
 
     The vector analog of std::upper_bound on cum_freqs: the answer is the
     minimal s with cum[s+1] > slot, computed as the rank
-    #{s : cum[s+1] <= slot} by 8 halving steps of a 2-row gather + unsigned
-    compare.  Full-width keys (not a 16-bit packed field) make prob_bits
-    16 -- and RANS64's 31 -- exact: cum[s+1] reaches M itself for every
-    symbol past the last present one, and the rank form is correct for
-    absent-symbol runs at either end of the alphabet.  Beats sweeping the
-    packed cum2sym slot table when that table exceeds ~16 rows
-    (prob_bits >= 14); below that the direct sweep wins (see
-    byte_tpu/rans64_tpu call sites).
+    #{s : cum[s+1] <= slot} by 8 halving steps + unsigned compare.
+    Full-width keys (not a 16-bit packed field) make prob_bits 16 -- and
+    RANS64's 31 -- exact: cum[s+1] reaches M itself for every symbol past
+    the last present one, and the rank form is correct for absent-symbol
+    runs at either end of the alphabet.
+
+    Keys are parity-interleaved (key e at row e & 1, col e >> 1): every
+    stride >= 2 probes entry lo + step - 1 with lo even, i.e. an ODD
+    entry (row 1), and the final stride-1 step probes even entry lo
+    (row 0) -- so each step is ONE single-row take_along_axis instead of
+    a two-row sweep-and-select.  Beats sweeping the packed cum2sym slot
+    table when that table exceeds ~16 rows (prob_bits >= 14); below that
+    the direct sweep wins (see byte_tpu/rans64_tpu call sites).
     """
+    row0 = jnp.broadcast_to(cn_rows[0:1], shape)
+    row1 = jnp.broadcast_to(cn_rows[1:2], shape)
     lo = jnp.zeros(shape, jnp.int32)
-    for step in (128, 64, 32, 16, 8, 4, 2, 1):
-        cand = lo + step
-        cv = table_lookup(cn_rows, cand - 1, 2, shape)
-        lo = jnp.where(uge(slot, cv), cand, lo)
-    return lo
+    for step in (128, 64, 32, 16, 8, 4, 2):
+        e = lo + (step - 1)  # odd entry -> row 1
+        cv = jnp.take_along_axis(row1, srl(e, 1), axis=1)
+        lo = jnp.where(uge(slot, cv), lo + step, lo)
+    cv = jnp.take_along_axis(row0, srl(lo, 1), axis=1)  # even entry lo
+    return jnp.where(uge(slot, cv), lo + 1, lo)
 
 
 def lane_prefix_sum(mask_f32, tri, R: int):

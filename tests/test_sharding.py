@@ -69,3 +69,23 @@ def test_sharded_matches_single_device(mesh8, book1_head):
         assert nw == blocks[b].size
         assert np.array_equal(
             np.asarray(words)[b, :nw].astype(np.uint16), blocks[b])
+
+
+@pytest.mark.parametrize("variant,pb", [
+    (Variant.BYTE, 14), (Variant.ALIAS, 16), (Variant.RANS64, 14),
+    (Variant.RANS64, 20),  # two-limb + reciprocal path sharded
+])
+def test_sharded_roundtrip_all_variants(mesh8, book1_head, variant, pb):
+    """roundtrip_step is variant-generic (VERDICT r1 #6): every variant's
+    full encode->compact->prep->decode pipeline runs inside one shard_map
+    body on the 8-device mesh."""
+    import jax.numpy as jnp
+    cfg = RansConfig(variant=variant, prob_bits=pb, n_lanes=128,
+                     lanes_per_stream=128, block_symbols=2048)
+    n_blocks = 8
+    S = n_blocks * cfg.block_symbols
+    data = book1_head[:S]
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+    out, _ = pmesh.roundtrip_step(mesh8, cfg, jnp.asarray(data), freqs, cum,
+                                  interpret=True)
+    assert np.array_equal(np.asarray(out), data)
