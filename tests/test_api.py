@@ -152,3 +152,37 @@ def test_decompress_to_device(book1_head, variant):
     blob = api.compress(data, cfg, backend="numpy")
     out = api.decompress_to_device(blob)
     assert bytes(np.asarray(out).tobytes()) == data
+
+
+@pytest.mark.parametrize("pb", [20, 31])
+def test_cross_backend_rans64_high_precision(book1_head, pb):
+    """RANS64 near-entropy precision (rans64.h:169): numpy, native, and
+    the TPU kernel path must produce the identical container at
+    prob_bits > 16 and cross-decode."""
+    cfg = RansConfig(variant=Variant.RANS64, prob_bits=pb, n_lanes=128,
+                     lanes_per_stream=128, block_symbols=4096)
+    data = book1_head[:10000].tobytes()
+    blob_np = api.compress(data, cfg, backend="numpy")
+    blob_tpu = api.compress(data, cfg, backend="tpu")
+    assert blob_np == blob_tpu
+    if native.available():
+        assert api.compress(data, cfg, backend="native") == blob_np
+        assert api.decompress(blob_np, backend="native") == data
+    assert api.decompress(blob_tpu, backend="tpu") == data
+
+
+def test_decompress_to_device_raw_blocks(book1_head, rng):
+    """decompress_to_device handles containers with raw blocks: coded
+    blocks decode through the kernel, raw bytes transfer verbatim."""
+    import numpy as np
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=1024,
+                     lanes_per_stream=1024, block_symbols=8192)
+    # block 0 compressible, block 1 random (raw), short raw tail
+    data = (book1_head[:8192].tobytes()
+            + rng.integers(0, 256, 8192, dtype=np.uint8).tobytes()
+            + b"\x07" * 100)
+    blob = api.compress(data, cfg, backend="numpy")
+    c = cont.unpack(blob)
+    assert c.raw is not None and bool(c.raw[1])
+    out = api.decompress_to_device(blob)
+    assert bytes(np.asarray(out).tobytes()) == data
