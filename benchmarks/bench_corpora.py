@@ -26,7 +26,7 @@ def main():
 
     book1 = np.frombuffer(open("/root/reference/book1", "rb").read(),
                           np.uint8)
-    R, NB, BS = 64, 32, 1 << 19
+    R, NB, BS = 128, 32, 1 << 19  # tuned r2 shape
     N = R * 128
     SYMS = NB * BS
     rng = np.random.default_rng(1)

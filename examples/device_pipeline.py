@@ -59,6 +59,16 @@ def main():
     assert b1 == raw[cfg.block_symbols:2 * cfg.block_symbols]
     print(f"random-access block 1: {len(b1)} bytes ok")
 
+    # the reverse direction: data born on device gets compressed on-chip;
+    # only the (smaller) payload crosses to the host
+    cfg2 = RansConfig(variant=Variant.ALIAS, prob_bits=16, n_lanes=2048,
+                      lanes_per_stream=2048, block_symbols=1 << 19,
+                      checksum=False)
+    blob2 = api.compress_from_device(device_bytes, cfg2)
+    assert api.decompress(blob2) == raw
+    print(f"device-side compress: {len(raw)} -> {len(blob2)} bytes, "
+          "round-trip ok")
+
 
 if __name__ == "__main__":
     main()

@@ -30,4 +30,18 @@ def decompress(blob, backend="auto") -> bytes:
     return api.decompress(blob, backend)
 
 
+def compress_from_device(arr, cfg=None) -> bytes:
+    """Compress a device-resident uint8 array on-chip -> TRNS container
+    (see api.compress_from_device)."""
+    from . import api
+    return api.compress_from_device(arr, cfg)
+
+
+def decompress_to_device(blob):
+    """Decode a TRNS container into a device-resident uint8 array
+    (see api.decompress_to_device)."""
+    from . import api
+    return api.decompress_to_device(blob)
+
+
 __version__ = "0.1.0"

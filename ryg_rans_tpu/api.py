@@ -391,3 +391,123 @@ def decompress_block(blob, block: int, backend: str = "auto") -> bytes:
     if c.crcs is not None and cont.crc32(out) != int(c.crcs[block]):
         raise ValueError(f"crc mismatch in block {block}")
     return out.tobytes()
+
+
+def compress_from_device(arr, cfg: RansConfig | None = None) -> bytes:
+    """Compress a device-resident uint8 array into TRNS container bytes.
+
+    The symmetric counterpart of decompress_to_device, for pipelines whose
+    data already lives on-chip (activations, datasets): the histogram,
+    symbol packing, dense encode and stream compaction all run on device;
+    the host receives the 256-bin histogram (the exact integer
+    normalization, main.cpp:75-129, is sequential scalar logic) and ONE
+    compacted buffer per block group, then assembles the container.  The
+    result is byte-identical to ``compress(np.asarray(arr), cfg)`` with
+    the same config.
+
+    Requires a TPU-kernel-supported config with ``checksum=False`` (CRCs
+    cover the original bytes, which never visit the host here).  Blocks
+    that fail to shrink still fall back to raw storage -- only those
+    blocks' bytes are fetched from the device.
+    """
+    import jax.numpy as jnp
+
+    cfg = cfg or RansConfig(checksum=False)
+    if cfg.checksum:
+        raise ValueError("compress_from_device requires checksum=False "
+                         "(CRCs cover host-side original bytes)")
+    arr = jnp.asarray(arr, jnp.uint8).reshape(-1)
+    S = int(arr.size)
+    if S == 0:
+        return cont.pack(cfg, 0, np.zeros(256, np.uint32), [], None)
+    if not _tpu_supported(cfg, S):
+        raise ValueError("config not supported by the TPU kernel path; "
+                         "use compress() instead")
+
+    counts = np.asarray(jnp.bincount(arr, length=256))
+    freqs, cum = stats.build_model_from_counts(counts.astype(np.int64),
+                                               cfg.prob_bits)
+
+    interpret = not _tpu_live()
+    mod = _tpu_mod(cfg)
+    from .ops import word_tpu
+    R = cfg.n_lanes // 128
+    N = cfg.n_lanes
+    step = 4 * N
+    S_pad = -(-S // step) * step
+    if S_pad != S:
+        arr = jnp.pad(arr, (0, S_pad - S),
+                      constant_values=int(np.argmax(freqs)))
+    B = cfg.block_symbols
+    n_full, tail = divmod(S_pad, B)
+    sb = cfg.prob_bits
+    alias = cfg.variant == Variant.ALIAS
+    wdt = cont.word_dtype(cfg.variant)
+    wsize = np.dtype(wdt).itemsize
+
+    if cfg.variant in (Variant.BYTE, Variant.ALIAS):
+        from .ops import byte_tpu
+        tables = byte_tpu.enc_tables(cfg, freqs, cum)
+    elif cfg.variant == Variant.RANS64:
+        from .ops import rans64_tpu
+        recip = sb > 16
+        tables = jnp.asarray(
+            rans64_tpu.pack_enc_tables_recip(freqs, cum, sb) if recip
+            else rans64_tpu.pack_enc_tables(freqs, cum))
+    else:
+        tables = jnp.asarray(word_tpu.pack_enc_rows(freqs, cum, sb))
+
+    out_blocks: list[np.ndarray] = []
+
+    def run(chunk, n_blocks: int):
+        T = chunk.size // n_blocks // N
+        T4 = T // 4
+        ilp = 2 if n_blocks % 2 == 0 else 1
+        spk = word_tpu.pack_symbols(chunk, T4, R, n_blocks)
+        if cfg.variant == Variant.WORD:
+            emit, xf = word_tpu.encode_blocks(
+                tables, spk, T4=T4, R=R, sb=sb, n_blocks=n_blocks,
+                interpret=interpret, ilp=ilp)
+            buf, n_units = word_tpu.compact_emissions(emit, xf, T * N,
+                                                      n_blocks)
+        elif cfg.variant in (Variant.BYTE, Variant.ALIAS):
+            from .ops import byte_tpu
+            emit, xf = byte_tpu.encode_blocks(
+                tables, spk, T4=T4, R=R, sb=sb, n_blocks=n_blocks,
+                alias=alias, interpret=interpret, ilp=ilp)
+            buf, n_units = byte_tpu.compact_emissions(emit, xf, 2 * T * N,
+                                                      n_blocks)
+        else:
+            from .ops import rans64_tpu
+            ew, ev, xlo, xhi = rans64_tpu.encode_blocks(
+                tables, spk, T4=T4, R=R, sb=sb, n_blocks=n_blocks,
+                interpret=interpret, ilp=ilp, recip=sb > 16)
+            buf, n_units = rans64_tpu.compact_emissions(ew, ev, xlo, xhi,
+                                                        T * N, n_blocks)
+        buf_np = np.asarray(buf)  # ONE host transfer per group
+        n_np = np.asarray(n_units)
+        for b in range(n_blocks):
+            n = int(n_np[b])
+            if cfg.variant == Variant.RANS64:
+                out_blocks.append(buf_np[b, :n].copy().view(np.uint32))
+            else:
+                out_blocks.append(buf_np[b, :n].astype(wdt))
+
+    if n_full:
+        run(arr[:n_full * B], n_full)
+    if tail:
+        run(arr[n_full * B:], 1)
+
+    payloads = [[blk] for blk in out_blocks]
+    raw = np.zeros(len(payloads), bool)
+    for b in range(len(payloads)):
+        off = b * B
+        end = min(off + B, S)
+        if out_blocks[b].size * wsize >= end - off:
+            raw[b] = True  # fetch only this block's original bytes
+            payloads[b] = [np.asarray(arr[off:end], np.uint8)]
+    blob = cont.pack(cfg, S, freqs, payloads, None,
+                     raw if raw.any() else None)
+    from .utils.log import container_summary
+    container_summary(S, len(blob), len(payloads))
+    return blob

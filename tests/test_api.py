@@ -186,3 +186,45 @@ def test_decompress_to_device_raw_blocks(book1_head, rng):
     assert c.raw is not None and bool(c.raw[1])
     out = api.decompress_to_device(blob)
     assert bytes(np.asarray(out).tobytes()) == data
+
+
+@pytest.mark.parametrize("variant,pb", [
+    (Variant.WORD, 12), (Variant.BYTE, 14), (Variant.ALIAS, 16),
+    (Variant.RANS64, 14), (Variant.RANS64, 20),
+])
+def test_compress_from_device_matches_host(book1_head, variant, pb):
+    """Device-side compression produces the byte-identical container the
+    host path produces, and it round-trips back to device."""
+    import jax.numpy as jnp
+    import numpy as np
+    cfg = RansConfig(variant=variant, prob_bits=pb, n_lanes=1024,
+                     lanes_per_stream=1024, block_symbols=8192,
+                     checksum=False)
+    data = book1_head[:20000]
+    blob = api.compress_from_device(jnp.asarray(data), cfg)
+    assert blob == api.compress(data.tobytes(), cfg, backend="numpy")
+    out = api.decompress_to_device(blob)
+    assert np.array_equal(np.asarray(out), data)
+
+
+def test_compress_from_device_raw_and_edges(rng):
+    """Raw fallback + empty input + checksum rejection on the device path."""
+    import jax.numpy as jnp
+    import numpy as np
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=1024,
+                     lanes_per_stream=1024, block_symbols=8192,
+                     checksum=False)
+    data = rng.integers(0, 256, 10000, dtype=np.uint8)
+    blob = api.compress_from_device(jnp.asarray(data), cfg)
+    assert blob == api.compress(data.tobytes(), cfg, backend="numpy")
+    assert cont.unpack(blob).raw is not None
+    assert api.decompress(blob, backend="numpy") == data.tobytes()
+
+    empty = api.compress_from_device(jnp.zeros(0, jnp.uint8), cfg)
+    assert api.decompress(empty) == b""
+
+    with pytest.raises(ValueError, match="checksum"):
+        api.compress_from_device(
+            jnp.asarray(data),
+            RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=1024,
+                       block_symbols=8192, checksum=True))
