@@ -166,6 +166,9 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
     M1 = (1 << sb) - 1
     WMAX = wmax_rows(R)
     cap_rows = stream4_ref.shape[0] // ilp
+    # loop-invariant first-level bisect keys (lanes.bisect_consts)
+    bconsts = lanes.bisect_consts(fc[2:4], (R, 128)) \
+        if (not alias and _use_bisect(sb)) else None
 
     def substep(x, base, spk, k, woff):
         slot = x & M1
@@ -182,7 +185,8 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         elif _use_bisect(sb):
             # binary search on cum (16 row-gathers) beats the 4-packed
             # cum2sym sweep (M/512 = 32+ rows) at prob_bits >= 14
-            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128))
+            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128),
+                                       consts=bconsts)
             e = lanes.table_lookup(fc, sym, 2, (R, 128))
             freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
             x = freq * lanes.srl(x, sb) + slot - (e & 0xFFFF)
@@ -294,6 +298,20 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         # broadcast each so bisect steps are one take_along_axis each
         sp_row = [jnp.broadcast_to(sp[r:r + 1, :], (R, 128))
                   for r in range(4)]
+
+        # loop-invariant first-level search keys: entry 0 (the ebest
+        # init) and the constant candidate sets of strides 256 ({256}),
+        # 128 ({128,384}) and 64 ({64,192,320,448}) -- all row 0 of the
+        # mod-4 interleave.  Hoisted out of the symbol loop; those three
+        # levels then resolve with selects instead of gathers.
+        def _g0(entry):
+            col = jnp.full((R, 128), entry >> 2, jnp.int32)
+            return jnp.take_along_axis(sp_row[0], col, axis=1)
+
+        sE0 = _g0(0)
+        s256 = _g0(256)
+        s128, s384 = _g0(128), _g0(384)
+        s64, s192, s320, s448 = _g0(64), _g0(192), _g0(320), _g0(448)
     else:
         fc_ref, in_ref, emit_ref, xout_ref = refs
     fc = fc_ref[:]
@@ -328,12 +346,21 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
             # SLOWER, 12.5 vs ~16 GB/s: the VPU is gather-throughput-
             # bound here, not depth-bound.)
             idx = r + start
-            lo = jnp.zeros((R, 128), jnp.int32)
-            # entry 0 (start always 0 <= idx); scalar (1,1)->(R,128)
-            # broadcasts are not Mosaic-legal, so gather column 0
-            ebest = jnp.take_along_axis(
-                sp_row[0], jnp.zeros((R, 128), jnp.int32), axis=1)
-            for step in (256, 128, 64, 32, 16, 8, 4, 2):
+            # hoisted levels 256/128/64: selects over the precomputed
+            # constant keys, no gathers
+            a1 = (s256 & 0xFFFF) <= idx
+            lo = jnp.where(a1, 256, 0)
+            ebest = jnp.where(a1, s256, sE0)
+            ev = jnp.where(a1, s384, s128)          # entry lo + 128
+            a2 = (ev & 0xFFFF) <= idx
+            lo = lo + jnp.where(a2, 128, 0)
+            ebest = jnp.where(a2, ev, ebest)
+            ev = jnp.where(a1, jnp.where(a2, s448, s320),
+                           jnp.where(a2, s192, s64))  # entry lo + 64
+            a3 = (ev & 0xFFFF) <= idx
+            lo = lo + jnp.where(a3, 64, 0)
+            ebest = jnp.where(a3, ev, ebest)
+            for step in (32, 16, 8, 4, 2):
                 row = sp_row[0] if step >= 4 else sp_row[2]
                 cand = lo + step
                 ev = jnp.take_along_axis(row, lanes.srl(cand, 2), axis=1)

@@ -91,7 +91,7 @@ def window_select(window, rel, col, W: int, shape):
     return out
 
 
-def cum2sym_bisect(cn_rows, slot, shape):
+def cum2sym_bisect(cn_rows, slot, shape, consts=None):
     """slot -> symbol via branchless rank search over a (2,128) table of
     full-width cum[s+1] keys (rows 2-3 of host_prep.pack_sym4_fc's table,
     rows 4-5 of pack_wide_fc's).
@@ -108,19 +108,49 @@ def cum2sym_bisect(cn_rows, slot, shape):
     stride >= 2 probes entry lo + step - 1 with lo even, i.e. an ODD
     entry (row 1), and the final stride-1 step probes even entry lo
     (row 0) -- so each step is ONE single-row take_along_axis instead of
-    a two-row sweep-and-select.  Beats sweeping the packed cum2sym slot
-    table when that table exceeds ~16 rows (prob_bits >= 14); below that
-    the direct sweep wins (see byte_tpu/rans64_tpu call sites).
+    a two-row sweep-and-select.
+
+    The first three levels probe entries from tiny CONSTANT sets ({127},
+    {63,191}, {31,95,159,223}); their keys are loop-invariant, so decode
+    kernels hoist them out of the hot loop via ``bisect_consts`` and
+    resolve each level with selects instead of gathers -- 5 in-loop
+    gathers per lookup instead of 8.  Beats sweeping the packed cum2sym
+    slot table when that table exceeds ~16 rows (prob_bits >= 14); below
+    that the direct sweep wins (see byte_tpu/rans64_tpu call sites).
     """
     row0 = jnp.broadcast_to(cn_rows[0:1], shape)
     row1 = jnp.broadcast_to(cn_rows[1:2], shape)
-    lo = jnp.zeros(shape, jnp.int32)
-    for step in (128, 64, 32, 16, 8, 4, 2):
+    if consts is None:
+        consts = bisect_consts(cn_rows, shape)
+    k127, k63, k191, k31, k95, k159, k223 = consts
+    a1 = uge(slot, k127)
+    lo = jnp.where(a1, 128, 0)
+    ev = jnp.where(a1, k191, k63)            # entry lo + 63
+    a2 = uge(slot, ev)
+    lo = lo + jnp.where(a2, 64, 0)
+    ev = jnp.where(a1, jnp.where(a2, k223, k159),
+                   jnp.where(a2, k95, k31))  # entry lo + 31
+    lo = lo + jnp.where(uge(slot, ev), 32, 0)
+    for step in (16, 8, 4, 2):
         e = lo + (step - 1)  # odd entry -> row 1
         cv = jnp.take_along_axis(row1, srl(e, 1), axis=1)
         lo = jnp.where(uge(slot, cv), lo + step, lo)
     cv = jnp.take_along_axis(row0, srl(lo, 1), axis=1)  # even entry lo
     return jnp.where(uge(slot, cv), lo + 1, lo)
+
+
+def bisect_consts(cn_rows, shape):
+    """Loop-invariant keys for cum2sym_bisect's first three levels:
+    entries (127), (63, 191), (31, 95, 159, 223) -- all odd, row 1 of the
+    parity-interleaved layout.  Compute ONCE per kernel invocation
+    (outside the symbol loop) and pass via ``consts=``."""
+    row1 = jnp.broadcast_to(cn_rows[1:2], shape)
+
+    def g(entry):
+        col = jnp.full(shape, entry >> 1, jnp.int32)
+        return jnp.take_along_axis(row1, col, axis=1)
+
+    return (g(127), g(63), g(191), g(31), g(95), g(159), g(223))
 
 
 def lane_prefix_sum(mask_f32, tri, R: int):

@@ -148,19 +148,28 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
     M1 = lanes._as_i32((1 << sb) - 1)
     WMAX = wmax_rows(R)        # worst case: 1 word/lane -> R window rows
     cap_rows = stream_ref.shape[0] // ilp
+    # loop-invariant first-level bisect keys (lanes.bisect_consts)
+    if wide:
+        bconsts = lanes.bisect_consts(fc[4:6], (R, 128))
+    elif s4rows > 16:
+        bconsts = lanes.bisect_consts(fc[2:4], (R, 128))
+    else:
+        bconsts = None
 
     def substep(hi, lo, base, spk, k, woff):
         slot = lo & M1
         if wide:
             # full-width (6,128) tables (host_prep.pack_wide_fc): bisect
             # keys rows 4-5, freq-1 rows 0-1, cum rows 2-3
-            sym = lanes.cum2sym_bisect(fc[4:6], slot, (R, 128))
+            sym = lanes.cum2sym_bisect(fc[4:6], slot, (R, 128),
+                                       consts=bconsts)
             freq = lanes.table_lookup(fc[0:2], sym, 2, (R, 128)) + 1
             cumv = lanes.table_lookup(fc[2:4], sym, 2, (R, 128))
         elif s4rows > 16:
             # binary search on cum beats the 4-packed cum2sym sweep
             # once the slot table exceeds 16 rows (prob_bits >= 14)
-            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128))
+            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128),
+                                       consts=bconsts)
             e = lanes.table_lookup(fc, sym, 2, (R, 128))
             freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
             cumv = e & 0xFFFF

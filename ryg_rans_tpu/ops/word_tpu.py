@@ -141,13 +141,16 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
     WFAST = min(WMAX, wfast if wfast else max(2, R // 4))
 
     cap_rows = stream2_ref.shape[0] // ilp
+    # loop-invariant first-level bisect keys (lanes.bisect_consts)
+    bconsts = lanes.bisect_consts(fc[2:4], (R, 128)) if s4rows > 16 else None
 
     def substep(x, base, spk, k, woff):
         slot = x & M1
         if s4rows > 16:
             # binary search on cum beats the 4-packed cum2sym sweep once
             # the slot table exceeds 16 rows (prob_bits >= 14)
-            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128))
+            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128),
+                                       consts=bconsts)
         else:
             # two-level symbol lookup
             s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
