@@ -113,7 +113,8 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
-                   wfast: int = 0, ilp: int = 1):
+                   wfast: int = 0, ilp: int = 1,
+                   use_bisect: bool | None = None):
     """Decode one block: 4*T4 steps over (R,128) lanes.
 
     Gather-count-optimized (see docs/DESIGN.md):
@@ -125,7 +126,8 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
       span inside a rarely-taken lax.cond.
     """
     s4rows = (1 << sb) // 512
-    if s4rows > 16:  # bisect path needs no cum2sym table in VMEM
+    bisect = use_bisect if use_bisect is not None else s4rows > 16
+    if bisect:  # bisect path needs no cum2sym table in VMEM
         fc_ref, x0_ref, stream2_ref, out_ref = refs
     else:
         sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref = refs
@@ -142,11 +144,11 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
 
     cap_rows = stream2_ref.shape[0] // ilp
     # loop-invariant first-level bisect keys (lanes.bisect_consts)
-    bconsts = lanes.bisect_consts(fc[2:4], (R, 128)) if s4rows > 16 else None
+    bconsts = lanes.bisect_consts(fc[2:4], (R, 128)) if bisect else None
 
     def substep(x, base, spk, k, woff):
         slot = x & M1
-        if s4rows > 16:
+        if bisect:
             # binary search on cum beats the 4-packed cum2sym sweep once
             # the slot table exceeds 16 rows (prob_bits >= 14)
             sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128),
@@ -228,11 +230,12 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "interpret",
-                                             "groups", "wfast", "ilp"))
+                                             "groups", "wfast", "ilp",
+                                             "use_bisect"))
 def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
                   sb: int, cap_rows: int, n_blocks: int,
                   interpret: bool = False, groups: int = 1, wfast: int = 0,
-                  ilp: int = 1):
+                  ilp: int = 1, use_bisect: bool | None = None):
     """Grid decode of ``n_blocks`` blocks.
 
     x0: (n_blocks*R, 128); stream2_rows: (n_blocks*cap_rows, 128) with renorm
@@ -247,14 +250,14 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
     if n_blocks % ilp:
         raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
     s4rows = (1 << sb) // 512
-    bisect = s4rows > 16
+    bisect = use_bisect if use_bisect is not None else s4rows > 16
     tab_specs = [] if bisect else [
         pl.BlockSpec((s4rows, 128), lambda b: (0, 0),
                      memory_space=pltpu.VMEM)]
     tab_args = [] if bisect else [sym4_rows]
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, groups=groups,
-                          wfast=wfast, ilp=ilp),
+                          wfast=wfast, ilp=ilp, use_bisect=use_bisect),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [
