@@ -118,6 +118,12 @@ def cmd_bench(args) -> int:
           f"(prob_bits={cfg.prob_bits}, lanes={cfg.n_lanes}, "
           f"backend={args.backend}):")
 
+    if args.backend in ("auto", "tpu") and n < (8 << 20) and api._tpu_live():
+        print("note: wall-clock on small inputs is dominated by per-call "
+              "host<->device transfer/sync, not codec speed; use a larger "
+              "input or bench.py / benchmarks/ for device-rate numbers",
+              file=sys.stderr)
+
     blob = None
     for _ in range(args.runs):
         t0 = time.perf_counter()
