@@ -270,6 +270,9 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
         ],
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
+        # large-R shapes (R=256) exceed the 16M default scoped-vmem limit;
+        # v5e has 128M VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(*tab_args, fc_rows, x0, stream2_rows)
 
