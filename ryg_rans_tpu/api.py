@@ -96,6 +96,21 @@ def _pick_backend(cfg: RansConfig, backend: str,
     return chosen
 
 
+def _host_pool_map(fn, items):
+    """Order-preserving map over independent blocks, threaded when both the
+    host has multiple cores and there is more than one item (the native
+    core releases the GIL for the duration of each C call).  Sequential
+    fallback keeps single-core machines and single-block inputs free of
+    thread overhead."""
+    import os
+    workers = min(len(items), os.cpu_count() or 1)
+    if workers <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(fn, items))
+
+
 def _pad(data: np.ndarray, cfg: RansConfig, freqs) -> np.ndarray:
     step = 4 * cfg.n_lanes
     S_pad = -(-max(data.size, 1) // step) * step
@@ -117,27 +132,32 @@ def _block_slices(cfg: RansConfig, padded_len: int):
 def _encode_payloads(cfg: RansConfig, be: str, padded: np.ndarray,
                      freqs, cum) -> list[list[np.ndarray]]:
     """Encode a padded symbol array (multiple of 4*n_lanes) into
-    per-block, per-substream word arrays on the given backend."""
+    per-block, per-substream word arrays on the given backend.
+
+    The native backend codes blocks in parallel across host threads
+    (blocks are independent; the ctypes call releases the GIL), scaling
+    the host fallback with core count.  Outputs are collected in block
+    order, so the container stays byte-identical at any worker count."""
     if be == "tpu":
         blocks, _ = _tpu_mod(cfg).encode(cfg, padded, freqs, cum,
                                          interpret=not _tpu_live())
         return [[b] for b in blocks]
-    payloads: list[list[np.ndarray]] = []
-    for off, size in _block_slices(cfg, padded.size):
-        chunk = padded[off:off + size]
-        if be == "native":
-            payload, words = native.encode(cfg, chunk, freqs, cum)
-            splits = np.cumsum(
-                words * np.dtype(cont.word_dtype(cfg.variant)).itemsize)
-            wdt = cont.word_dtype(cfg.variant)
-            blk = [payload[(splits[i - 1] if i else 0):splits[i]].view(wdt)
-                   for i in range(len(words))]
-        elif be == "numpy":
-            blk = oracle.encode(cfg, chunk, freqs, cum)
-        else:
-            raise ValueError(f"unknown backend {be!r}")
-        payloads.append(blk)
-    return payloads
+
+    def enc_native(chunk):
+        payload, words = native.encode(cfg, chunk, freqs, cum)
+        splits = np.cumsum(
+            words * np.dtype(cont.word_dtype(cfg.variant)).itemsize)
+        wdt = cont.word_dtype(cfg.variant)
+        return [payload[(splits[i - 1] if i else 0):splits[i]].view(wdt)
+                for i in range(len(words))]
+
+    chunks = [padded[off:off + size]
+              for off, size in _block_slices(cfg, padded.size)]
+    if be == "native":
+        return list(_host_pool_map(enc_native, chunks))
+    if be == "numpy":
+        return [oracle.encode(cfg, chunk, freqs, cum) for chunk in chunks]
+    raise ValueError(f"unknown backend {be!r}")
 
 
 def _decode_payloads(cfg: RansConfig, be: str, payloads, sizes, freqs,
@@ -171,20 +191,19 @@ def _decode_payloads(cfg: RansConfig, be: str, payloads, sizes, freqs,
                                    interpret=not _tpu_live())
         bounds = np.cumsum(sizes)[:-1]
         return np.split(out, bounds)
-    parts = []
-    for blk, size in zip(payloads, sizes):
-        if be == "native":
+    if be == "native":
+        def dec_native(args):
+            blk, size = args
             payload = np.concatenate(
                 [s.view(np.uint8) for s in blk]) if blk else np.zeros(
                     0, np.uint8)
             words = np.array([s.size for s in blk], np.int64)
-            parts.append(native.decode(cfg, payload, words, size, freqs,
-                                       cum))
-        elif be == "numpy":
-            parts.append(oracle.decode(cfg, blk, size, freqs, cum))
-        else:
-            raise ValueError(f"unknown backend {be!r}")
-    return parts
+            return native.decode(cfg, payload, words, size, freqs, cum)
+        return list(_host_pool_map(dec_native, list(zip(payloads, sizes))))
+    if be == "numpy":
+        return [oracle.decode(cfg, blk, size, freqs, cum)
+                for blk, size in zip(payloads, sizes)]
+    raise ValueError(f"unknown backend {be!r}")
 
 
 def compress(data, cfg: RansConfig | None = None,

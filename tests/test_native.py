@@ -106,3 +106,21 @@ def test_native_wide_lane_book1_roundtrip(book1):
     assert np.array_equal(dec, book1)
     # per-lane flush overhead: 4 bytes/lane over the 8-way size
     assert payload.size < 435626 + 4 * 1024 + 64
+
+
+@pytest.mark.skipif(not native.available(), reason="no native core")
+def test_native_threaded_blocks_identical(book1_head, monkeypatch):
+    """Block-parallel host coding (api._host_pool_map) must produce the
+    byte-identical container at any worker count; blocks are independent
+    and the C calls release the GIL."""
+    import os
+    from ryg_rans_tpu import api
+
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=64,
+                     lanes_per_stream=64, block_symbols=4096)
+    data = book1_head[:40000].tobytes()
+    blob_seq = api.compress(data, cfg, backend="native")
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    blob_par = api.compress(data, cfg, backend="native")
+    assert blob_par == blob_seq
+    assert api.decompress(blob_par, backend="native") == data
