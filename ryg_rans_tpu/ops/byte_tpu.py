@@ -12,12 +12,12 @@ TPU-native re-design of the reference's byte-wise coders:
   packed freq|sym and adjust[512]) -- 10 gather rows total, making ALIAS the
   cheapest per-symbol lookup of all variants on TPU.  The encode side's
   alias_remap[M] bijection (65536 entries at prob_bits 16 -- far too large
-  to sweep) is rebuilt as <=512 constant-delta segments of the idx domain
-  (remap[idx] = idx + delta[seg]) found by a 9-step branchless binary
-  search over the sorted segment starts.
+  to sweep) is rebuilt as <=512 constant-delta packed segments of the idx
+  domain, found by a branchless rank search whose first three levels are
+  hoisted loop-invariant selects (build_alias_segments / _encode_kernel).
 
 Renorm bytes travel packed 4-per-int32 through the stream window; the
-per-step byte-count prefix sum runs on the MXU (ops/lanes.lane_prefix_sum),
+per-step byte-count prefix sum runs on the MXU (lanes.lane_prefix_sum_rows),
 replacing the reference's movemask + shuffle-LUT routing
 (rans_word_sse41.h:182-227) which has no lane-count-generic analog.
 

@@ -75,22 +75,6 @@ def table_lookup(table_rows, idx, rows: int, shape):
     return out
 
 
-def window_select(window, rel, col, W: int, shape):
-    """Gather ``window[rel, col]`` per lane from a (>=W, 128) row window.
-
-    The TPU replacement for the reference's shuffle-LUT stream routing
-    (rans_word_sse41.h:184-203): sweep W broadcast rows, lane-gather each at
-    ``col``, and keep the row matching ``rel``.  Lanes with rel outside
-    [0, W) get 0.
-    """
-    out = jnp.zeros(shape, jnp.int32)
-    for r in range(W):
-        wr = jnp.broadcast_to(window[r:r + 1, :], shape)
-        v = jnp.take_along_axis(wr, col, axis=1)
-        out = jnp.where(rel == r, v, out)
-    return out
-
-
 def cum2sym_bisect(cn_rows, slot, shape, consts=None):
     """slot -> symbol via branchless rank search over a (2,128) table of
     full-width cum[s+1] keys (rows 2-3 of host_prep.pack_sym4_fc's table,
@@ -153,26 +137,6 @@ def bisect_consts(cn_rows, shape):
     return (g(127), g(63), g(191), g(31), g(95), g(159), g(223))
 
 
-def lane_prefix_sum(mask_f32, tri, R: int):
-    """Inclusive prefix sum of a (R,128) 0/1 float mask over the flattened
-    (row-major) lane order, plus the total.
-
-    Within-row prefix runs on the MXU via ``tri``; cross-row offsets come
-    from a strictly-lower-triangular iota matmul over the R row totals.
-    Returns (inclusive_prefix int32 (R,128), total int32 scalar).
-    """
-    cs = jnp.dot(mask_f32, tri, preferred_element_type=jnp.float32)
-    rowtot = cs[:, 127:128]                     # (R,1) row totals
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-    lower = (cols_i < rows_i).astype(jnp.float32)
-    cross = jnp.dot(lower, jnp.broadcast_to(rowtot, (R, 128)),
-                    preferred_element_type=jnp.float32)[:, :1]
-    incl = (cs + cross).astype(jnp.int32)
-    total = jnp.sum(mask_f32).astype(jnp.int32)
-    return incl, total
-
-
 def lane_prefix_sum_rows(mask_f32, tri, R: int):
     """lane_prefix_sum that also returns per-row start offsets.
 
@@ -201,8 +165,8 @@ def window_fetch_mono(window, row_rel, rel, col, W: int, shape):
     Fetches the two candidate window rows per sublane row with one-hot MXU
     matmuls -- exact in fp32 by splitting each int32 cell into 16-bit
     halves -- then resolves per lane with two lane-gathers and one select.
-    O(4 matmuls + 2 gathers) regardless of window span, replacing the
-    O(W)-sweep window_select.
+    O(4 matmuls + 2 gathers) regardless of window span, replacing an
+    O(W) row sweep.
     """
     a, b = _mono_candidates(window, row_rel, W, shape)
     va = jnp.take_along_axis(a, col, axis=1)

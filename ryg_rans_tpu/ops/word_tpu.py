@@ -113,17 +113,16 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
-                   wfast: int = 0, ilp: int = 1,
-                   use_bisect: bool | None = None):
+                   ilp: int = 1, use_bisect: bool | None = None):
     """Decode one block: 4*T4 steps over (R,128) lanes.
 
     Gather-count-optimized (see docs/DESIGN.md):
     * two-level symbol lookup -- cum2sym packed 4/int32 (M/512 rows) then a
-      2-row (freq|cum) gather -- instead of the 1-level M/128-row slot table;
+      2-row (freq|cum) gather -- instead of the 1-level M/128-row slot
+      table (sym4 path; bisect with hoisted constant keys at pb >= 14);
     * renorm words packed 2/int32 in the window buffer, halving window rows;
-    * the window sweep covers WFAST rows unconditionally (enough for typical
-      ~0.28 words/lane consumption) and falls back to the full worst-case
-      span inside a rarely-taken lax.cond.
+    * the stream window is fetched with the monotone two-candidate MXU
+      gather (lanes.window_fetch_mono), O(1) in window span.
     """
     s4rows = (1 << sb) // 512
     bisect = use_bisect if use_bisect is not None else s4rows > 16
@@ -138,10 +137,6 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
            ).astype(jnp.float32)
     M1 = (1 << sb) - 1
     WMAX = wmax_rows(R)       # worst-case pair-rows a step can touch
-    # Legacy sweep fast-path span (wfast > 0 only); the default monotone
-    # MXU fetch always covers WMAX exactly.
-    WFAST = min(WMAX, wfast if wfast else max(2, R // 4))
-
     cap_rows = stream2_ref.shape[0] // ilp
     # loop-invariant first-level bisect keys (lanes.bisect_consts)
     bconsts = lanes.bisect_consts(fc[2:4], (R, 128)) if bisect else None
@@ -164,44 +159,22 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
         spk = spk | (sym << (8 * k))
         # advance: x = freq*(x>>sb) + (slot - cum)  (rans_word_sse41.h:126)
         x = freq * lanes.srl(x, sb) + slot - cumv
-        # renorm (<=1 word, rans_word_sse41.h:31-34)
+        # renorm (<=1 word, rans_word_sse41.h:31-34): monotone
+        # two-candidate window fetch via MXU one-hots -- a row of 128
+        # lanes consumes <=128 words < 256 words/window-row, so rel
+        # spans at most two rows per sublane row (lanes.py)
         m = lanes.ult(x, 1 << 16)
-        if wfast == 0:
-            # monotone two-candidate window fetch via MXU one-hots: a row of
-            # 128 lanes consumes <=128 words < 256 words/window-row, so rel
-            # spans at most two rows per sublane row (lanes.py)
-            incl, total, rowstart = lanes.lane_prefix_sum_rows(
-                m.astype(jnp.float32), tri, R)
-            gidx = base + jnp.where(m, incl - 1, 0)
-            brow = jax.lax.shift_right_logical(base, 8)
-            rel = jax.lax.shift_right_logical(gidx, 8) - brow
-            row_rel = jax.lax.shift_right_logical(base + rowstart, 8) - brow
-            col = jax.lax.shift_right_logical(gidx, 1) & 127
-            half = (gidx & 1) << 4
-            win = stream2_ref[pl.ds(woff + brow, WMAX), :]
-            wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
-                                         (R, 128))
-        else:
-            # legacy row-sweep path (A/B reference; see tune scripts)
-            incl, total = lanes.lane_prefix_sum(m.astype(jnp.float32), tri, R)
-            gidx = base + jnp.where(m, incl - 1, 0)
-            brow = jax.lax.shift_right_logical(base, 8)
-            rel = jax.lax.shift_right_logical(gidx, 8) - brow
-            col = jax.lax.shift_right_logical(gidx, 1) & 127
-            half = (gidx & 1) << 4
-            win = stream2_ref[pl.ds(woff + brow, WFAST), :]
-            wv = lanes.window_select(win, rel, col, WFAST, (R, 128))
-            if WMAX > WFAST:
-                need_rare = jax.lax.shift_right_logical(
-                    (base & 255) + total + 255, 8) > WFAST
-
-                def rare():
-                    wrest = stream2_ref[
-                        pl.ds(woff + brow + WFAST, WMAX - WFAST), :]
-                    return wv | lanes.window_select(
-                        wrest, rel - WFAST, col, WMAX - WFAST, (R, 128))
-
-                wv = jax.lax.cond(need_rare, rare, lambda: wv)
+        incl, total, rowstart = lanes.lane_prefix_sum_rows(
+            m.astype(jnp.float32), tri, R)
+        gidx = base + jnp.where(m, incl - 1, 0)
+        brow = jax.lax.shift_right_logical(base, 8)
+        rel = jax.lax.shift_right_logical(gidx, 8) - brow
+        row_rel = jax.lax.shift_right_logical(base + rowstart, 8) - brow
+        col = jax.lax.shift_right_logical(gidx, 1) & 127
+        half = (gidx & 1) << 4
+        win = stream2_ref[pl.ds(woff + brow, WMAX), :]
+        wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
+                                     (R, 128))
         word = lanes.srl(wv, half) & 0xFFFF
         x = jnp.where(m, (x << 16) | word, x)
         return x, base + total, spk
@@ -230,11 +203,10 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "interpret",
-                                             "groups", "wfast", "ilp",
-                                             "use_bisect"))
+                                             "groups", "ilp", "use_bisect"))
 def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
                   sb: int, cap_rows: int, n_blocks: int,
-                  interpret: bool = False, groups: int = 1, wfast: int = 0,
+                  interpret: bool = False, groups: int = 1,
                   ilp: int = 1, use_bisect: bool | None = None):
     """Grid decode of ``n_blocks`` blocks.
 
@@ -257,7 +229,7 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
     tab_args = [] if bisect else [sym4_rows]
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, groups=groups,
-                          wfast=wfast, ilp=ilp, use_bisect=use_bisect),
+                          ilp=ilp, use_bisect=use_bisect),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [
