@@ -134,3 +134,24 @@ def test_cross_backend_decode(book1_head):
     for be in BACKENDS + ["tpu"]:
         for blob in blobs.values():
             assert api.decompress(blob, backend=be) == data
+
+
+def test_container_header_fuzz(book1_head, rng):
+    """Random corruption anywhere in the container must either decode to
+    different bytes (caught by CRC) or raise a clean ValueError/IndexError
+    -- never hang or crash the process."""
+    cfg = _cfg(Variant.WORD)
+    data = book1_head[:20000].tobytes()
+    blob = bytearray(api.compress(data, cfg, backend="numpy"))
+    for _ in range(60):
+        pos = int(rng.integers(0, len(blob)))
+        bit = 1 << int(rng.integers(0, 8))
+        mutated = bytearray(blob)
+        mutated[pos] ^= bit
+        try:
+            out = api.decompress(bytes(mutated), backend="numpy")
+            # undetected-change cases must at least round-trip SOMETHING
+            assert isinstance(out, bytes)
+        except (ValueError, IndexError, KeyError, RuntimeError,
+                AssertionError, OverflowError):
+            pass  # clean, typed failure
