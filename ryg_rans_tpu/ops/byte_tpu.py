@@ -39,7 +39,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RansConfig, Variant
 from ..models import alias as alias_mod
-from ..models import stats as stats_mod
 from . import host_prep
 from . import lanes
 

@@ -48,7 +48,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RansConfig, Variant
-from ..models import stats as stats_mod
 from ..models import tables as tables_mod
 from . import host_prep
 from . import lanes

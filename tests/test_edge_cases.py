@@ -155,3 +155,23 @@ def test_container_header_fuzz(book1_head, rng):
         except (ValueError, IndexError, KeyError, RuntimeError,
                 AssertionError, OverflowError):
             pass  # clean, typed failure
+
+
+def test_raw_block_fallback_multi_substream(rng, book1_head):
+    """Raw fallback with lanes_per_stream < n_lanes (multi-substream
+    containers): the raw counts row is [n_bytes, 0, ...] and coded blocks
+    keep their per-substream counts."""
+    from ryg_rans_tpu.utils import container as cont
+
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=64,
+                     lanes_per_stream=16, block_symbols=4096)
+    B = cfg.block_symbols
+    data = (book1_head[:B].tobytes()
+            + rng.integers(0, 256, B, dtype=np.uint8).tobytes())
+    blob = api.compress(data, cfg, backend="numpy")
+    c = cont.unpack(blob)
+    assert cfg.n_streams == 4
+    assert list(c.raw) == [False, True]
+    assert int(c.stream_words[1, 0]) == B  # raw bytes in column 0
+    assert np.all(c.stream_words[1, 1:] == 0)
+    assert api.decompress(blob, backend="numpy") == data
