@@ -135,8 +135,11 @@ class RansConfig:
                 f"{spec.variant.name} max {spec.max_prob_bits}")
         if self.prob_bits < 8:
             raise ValueError("prob_bits must be >= 8 (alphabet is 256)")
-        if self.n_lanes & (self.n_lanes - 1):
-            raise ValueError("n_lanes must be a power of two")
+        if self.n_lanes < 1 or self.n_lanes & (self.n_lanes - 1):
+            raise ValueError("n_lanes must be a positive power of two")
+        if self.block_symbols < self.n_lanes:
+            raise ValueError("block_symbols must be >= n_lanes (and a "
+                             "crafted 0 would loop the block iterator)")
         if self.lanes_per_stream is None:
             object.__setattr__(self, "lanes_per_stream", self.n_lanes)
         if self.lanes_per_stream & (self.lanes_per_stream - 1):

@@ -175,3 +175,20 @@ def test_raw_block_fallback_multi_substream(rng, book1_head):
     assert int(c.stream_words[1, 0]) == B  # raw bytes in column 0
     assert np.all(c.stream_words[1, 1:] == 0)
     assert api.decompress(blob, backend="numpy") == data
+
+
+def test_degenerate_config_rejected():
+    """Crafted header values must fail validation, not hang or divide by
+    zero (block_symbols=0 would loop the block iterator forever)."""
+    with pytest.raises(ValueError):
+        RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=0)
+    with pytest.raises(ValueError):
+        RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=64,
+                   block_symbols=0)
+    # a crafted container carrying block_symbols=0 is rejected at unpack
+    from ryg_rans_tpu.utils import container as cont
+    blob = bytearray(api.compress(b"hello world" * 100,
+                                  _cfg(Variant.WORD), backend="numpy"))
+    blob[24:28] = (0).to_bytes(4, "little")  # block_symbols field
+    with pytest.raises(ValueError):
+        cont.unpack(bytes(blob))
