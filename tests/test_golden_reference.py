@@ -94,3 +94,21 @@ def test_published_sizes_book1(dumper, tmp_path, book1, ref_name, lanes,
     anchors the golden dumps to the published baseline."""
     ref = _reference_payload(dumper, tmp_path, ref_name, lanes, book1)
     assert len(ref) == published
+
+
+@pytest.mark.parametrize("ref_name,variant,lanes", CASES)
+def test_full_book1_bitstream_identical_native(dumper, tmp_path, book1,
+                                               ref_name, variant, lanes):
+    """FULL-corpus byte identity: the native core's stream for all 768771
+    bytes of book1 equals the unmodified reference encoder's, for every
+    reference layout (the oracle-based test above caps at 64K because it
+    is O(steps) in Python; the C++ core has no such limit)."""
+    from ryg_rans_tpu import native
+    if not native.available():
+        pytest.skip("no native core")
+    ref = _reference_payload(dumper, tmp_path, ref_name, lanes, book1)
+    cfg = RansConfig.reference(variant, n_lanes=lanes)
+    freqs, cum = stats.build_model(book1, cfg.prob_bits)
+    payload, words = native.encode(cfg, book1, freqs, cum)
+    assert len(words) == 1
+    assert payload.tobytes() == ref
