@@ -1,21 +1,27 @@
 """Headline benchmark: best-variant rANS decode throughput per chip,
-byte-exact.
+byte-exact, WITH the compression ratio of the very same operating point.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline",
+"container_bytes", "bits_per_byte", "ratio_vs_reference"}.
 
 Baseline: the reference's best published decode, 8-way SIMD interleaved
-rans_word at 550.8 MB/s on an i7-2600K (README:112, BASELINE.md).
+rans_word at 550.8 MB/s on an i7-2600K (README:112, BASELINE.md); ratio
+reference: its 2-way interleaved rans_byte container, 435,117 B on book1 =
+4.5276 bits/byte (README:62, size printed per run at main.cpp:252).
 
-Methodology: the corpus is book1 tiled to 32 blocks x 2^19 symbols (16.8 MB)
+Methodology: the corpus is book1 tiled to 4 blocks x 2^23 symbols (33.6 MB)
 so the chip runs at steady state; timing uses the slope between scan-chained
-in-dispatch repetitions (2 vs 14) to exclude host/tunnel round-trip latency
-(the reference likewise times only its codec loops, main.cpp:169-186); the
-scan carry makes each repetition data-dependent so no dispatch is elided.
+in-dispatch repetitions to exclude host/tunnel round-trip latency (the
+reference likewise times only its codec loops, main.cpp:169-186); the scan
+carry makes each repetition data-dependent so no dispatch is elided.
 Decoded output is byte-compared against the input before timing; a variant
 that fails the round-trip scores 0.  The headline is the best of the two
-fastest variants (WORD pb=12 and ALIAS pb=16, both at R=128 = 16384 lanes,
-the tuned shape -- benchmarks/tune_word_decode.py sweep), mirroring the
-reference README which also reports its fastest configuration per workload.
+fastest variants (WORD pb=12 and ALIAS pb=16, both at R=128 = 16384 lanes)
+at ONE shape that meets both north-star halves simultaneously: 2^23-symbol
+blocks amortize the 64 KiB flushed-lane-state head to 0.8% (the r2 shape,
+2^19, paid 24% -- benchmarks/tune_blocksize.py sweep, docs/DESIGN.md), and
+the container is produced by the real api.compress front door at exactly
+the benched config.
 """
 
 import functools
@@ -26,11 +32,13 @@ import time
 
 def _bench_variant(variant_name: str, data, models, R: int, NB: int,
                    BS: int):
-    """models: {prob_bits: (freqs, cum)}; returns GB/s (0.0 on mismatch)."""
+    """models: {prob_bits: (freqs, cum)}; returns (GB/s, container_bytes)
+    with GB/s 0.0 on round-trip mismatch."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from ryg_rans_tpu import api
     from ryg_rans_tpu.config import RansConfig, Variant
     from ryg_rans_tpu.ops import byte_tpu, word_tpu
 
@@ -41,6 +49,9 @@ def _bench_variant(variant_name: str, data, models, R: int, NB: int,
     cfg = RansConfig(variant=variant, prob_bits={"WORD": 12, "ALIAS": 16}[
         variant_name], n_lanes=N, block_symbols=BS)
     pb = cfg.prob_bits
+
+    # ratio half of the north star: the real front door at the benched shape
+    container_bytes = len(api.compress(data, cfg, backend="tpu"))
 
     if variant == Variant.WORD:
         s4, fc = word_tpu.pack_dec_rows2(models[pb][0], models[pb][1], pb)
@@ -74,7 +85,7 @@ def _bench_variant(variant_name: str, data, models, R: int, NB: int,
     dec = np.asarray(word_tpu.unpack_symbols(out, T4, R, NB))
     if not np.array_equal(dec, data):
         print(f"ERROR: {variant_name} round-trip mismatch", file=sys.stderr)
-        return 0.0
+        return 0.0, container_bytes
 
     @functools.partial(jax.jit, static_argnames=("reps",))
     def dec_many(x0, st, reps: int):
@@ -101,7 +112,7 @@ def _bench_variant(variant_name: str, data, models, R: int, NB: int,
     run(lo), run(hi)
     a = min(run(lo) for _ in range(5))
     b = min(run(hi) for _ in range(5))
-    return SYMS / ((b - a) / (hi - lo)) / 1e9
+    return SYMS / ((b - a) / (hi - lo)) / 1e9, container_bytes
 
 
 def main():
@@ -138,7 +149,10 @@ def main():
 
     # R=128 (16384 lanes) measured fastest on v5e r2 (13.0 GB/s WORD vs 9.3
     # at R=64; benchmarks/tune_word_decode.py); R=256 fails to compile.
-    R, NB, BS = 128, 32, 1 << 19
+    # BS=2^23 amortizes the 64 KiB/block flushed-state head to 0.8% while
+    # holding full speed (benchmarks/tune_blocksize.py, r3):
+    # 2^19 -> 5.28 bits/byte, 2^23 -> 4.58 at the same ~12.8 GB/s.
+    R, NB, BS = 128, 4, 1 << 23
     SYMS = NB * BS
     data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
     models = {pb: stats.build_model(data, pb) for pb in (12, 16)}
@@ -149,13 +163,23 @@ def main():
             results[name] = _bench_variant(name, data, models, R, NB, BS)
         except Exception as e:  # pragma: no cover - variant-level guard
             print(f"ERROR: {name}: {type(e).__name__}: {e}", file=sys.stderr)
-            results[name] = 0.0
-        print(f"# {name}: {results[name]:.3f} GB/s", file=sys.stderr)
+            results[name] = (0.0, 0)
+        print(f"# {name}: {results[name][0]:.3f} GB/s, "
+              f"{8 * results[name][1] / SYMS:.4f} bits/byte",
+              file=sys.stderr)
 
-    gbs = max(results.values())
+    best = max(results, key=lambda k: results[k][0])
+    gbs, nbytes = results[best]
+    bpb = 8.0 * nbytes / SYMS
+    # reference 2-way interleaved rans_byte: 435,117 B on 768,771-byte book1
+    ref_bpb = 8.0 * 435117 / 768771
     print(json.dumps({"metric": "decode_throughput_tpu_per_chip",
                       "value": round(gbs, 4), "unit": "GB/s",
-                      "vs_baseline": round(gbs / 0.5508, 3)}))
+                      "vs_baseline": round(gbs / 0.5508, 3),
+                      "variant": best,
+                      "container_bytes": nbytes,
+                      "bits_per_byte": round(bpb, 4),
+                      "ratio_vs_reference": round(bpb / ref_bpb, 4)}))
     if gbs == 0.0:
         sys.exit(1)
 

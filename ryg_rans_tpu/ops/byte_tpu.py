@@ -278,6 +278,9 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
         ],
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
+        # big-block shapes exceed the 16M default scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=host_prep.VMEM_LIMIT),
         interpret=interpret,
     )(*tables, x0, stream4_rows)
 
@@ -431,6 +434,10 @@ def encode_blocks(tables, syms_packed, *, T4: int, R: int, sb: int,
             pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ),
+        # the dense emit buffer is 4 B/symbol: big blocks blow the 16M
+        # default scoped-vmem limit (host_prep.VMEM_LIMIT / pick_ilp)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=host_prep.VMEM_LIMIT),
         interpret=interpret,
     )(*tables, syms_packed)
 
@@ -555,7 +562,7 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
         emit, xf = encode_blocks(tables, spk, T4=T4, R=R, sb=cfg.prob_bits,
                                  n_blocks=n_blocks, alias=alias,
                                  interpret=interpret,
-                                 ilp=2 if n_blocks % 2 == 0 else 1)
+                                 ilp=host_prep.pick_ilp(n_blocks, 5 * T * N))
         cap = 2 * T * N  # <=2 bytes per symbol
         buf, n_bytes = compact_emissions(emit, xf, cap, n_blocks)
         buf_np = np.asarray(buf)
@@ -601,7 +608,8 @@ def decode(cfg: RansConfig, byte_blocks: list[np.ndarray],
                             sb=cfg.prob_bits, cap_rows=cap_rows,
                             n_blocks=n_blocks, alias=alias,
                             interpret=interpret,
-                            ilp=2 if n_blocks % 2 == 0 else 1)
+                            ilp=host_prep.pick_ilp(
+                                n_blocks, n_symbols_block + cap_rows * 512))
         outs.append(np.asarray(word_tpu.unpack_symbols(spk, T4, R, n_blocks)))
 
     if n_full:

@@ -70,6 +70,25 @@ def default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+#: Scoped-VMEM limit for the codec pallas_calls.  v5e has 128 MiB of VMEM;
+#: 100 MiB leaves headroom for tables and the compiler's own scratch while
+#: letting block_symbols reach 2^23 (the ratio-optimal shapes -- the flushed
+#: lane-state head amortizes with block size, docs/DESIGN.md).
+VMEM_LIMIT = 100 << 20
+
+# Scoped-VMEM footprint is ~2x (pipeline double-buffering) x ilp x the
+# per-block buffer bytes, so 2-block ILP must switch off for large blocks.
+_ILP_BUDGET = 96 << 20
+
+
+def pick_ilp(n_blocks: int, bytes_per_block: int) -> int:
+    """2-block ILP (+25% decode, docs/DESIGN.md) when the doubled footprint
+    still fits the scoped-VMEM budget, else 1."""
+    if n_blocks % 2 == 0 and 4 * bytes_per_block <= _ILP_BUDGET:
+        return 2
+    return 1
+
+
 def split_blocks(cfg: RansConfig, padded_size: int):
     """(n_full_blocks, tail_symbols); all sizes multiples of 4*n_lanes."""
     B = cfg.block_symbols

@@ -98,13 +98,18 @@ def _supports(cfg: RansConfig):
                          "of 4*n_lanes (symbols travel 4-packed per int32)")
 
 
-def _mul_u16_u64(freq, hi, lo):
-    """(freq * (hi,lo)) mod 2^64 for freq < 2^16, exact 16-bit limbs.
+def _mul_u16_u64(freq, hi, lo, d):
+    """(freq * (hi,lo) + d) mod 2^64 for freq <= 2^16, 0 <= d < freq,
+    exact 16-bit limbs.
 
-    Caller guarantees the true product < 2^63 (rANS invariant), so every
-    partial term stays < 2^31 in int32.
+    Caller guarantees the true result < 2^63 (rANS invariant), so every
+    partial term stays exact mod 2^32 in int32 lanes.  The decode advance's
+    ``+ (slot - cum)`` rides along in t0 for free: slot always lies in
+    [cum[s], cum[s+1]) -- that is how the symbol was found -- so d >= 0 and
+    t0 = freq*u16 + d < 2^32 needs no sign/carry fixup (the reference's
+    scalar u64 add, rans64.h:133, has no fixup to begin with).
     """
-    t0 = freq * (lo & 0xFFFF)
+    t0 = freq * (lo & 0xFFFF) + d
     t1 = freq * lanes.srl(lo, 16)
     t2 = freq * hi
     mid = lanes.srl(t0, 16) + (t1 & 0xFFFF)
@@ -179,18 +184,20 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
             e = lanes.table_lookup(fc, sym, 2, (R, 128))
             freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
             cumv = e & 0xFFFF
-        # advance: x = freq * (x >> sb) + slot - cum  (rans64.h:126-133)
+        # advance: x = freq * (x >> sb) + (slot - cum)  (rans64.h:126-133);
+        # slot - cum is in [0, freq) by construction of the symbol lookup,
+        # so it folds into the limb product (one-limb) or needs only a
+        # non-negative carry (two-limb)
         y_lo = lanes.srl(lo, sb) | (hi << (32 - sb))
         y_hi = lanes.srl(hi, sb)
+        d = slot - cumv
         if wide:
             hi, lo = lanes.mul_u32_u64(freq, y_hi, y_lo)
+            s = lo + d
+            hi = hi + jnp.where(lanes.ugt(lo, s), 1, 0)
+            lo = s
         else:
-            hi, lo = _mul_u16_u64(freq, y_hi, y_lo)
-        d = slot - cumv
-        s = lo + d
-        hi = hi + jnp.where((d > 0) & lanes.ugt(lo, s), 1, 0) \
-            - jnp.where((d < 0) & lanes.ugt(s, lo), 1, 0)
-        lo = s
+            hi, lo = _mul_u16_u64(freq, y_hi, y_lo, d)
         spk = spk | (sym << (8 * k))
         # renorm: <=1 whole word (rans64.h:134-139); monotone
         # two-candidate fetch: a row of 128 lanes consumes <=128 words
@@ -264,6 +271,9 @@ def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
         ],
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
+        # big-block shapes exceed the 16M default scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=host_prep.VMEM_LIMIT),
         interpret=interpret,
     )(*tab_args, fc_rows, x0_lo, x0_hi, stream_rows)
 
@@ -395,9 +405,10 @@ def encode_blocks(fc_rows, syms_packed, *, T4: int, R: int, sb: int,
             pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ),
-        # two emit outputs (word + valid) put ilp=2 slightly past the 16M
-        # default scoped-vmem limit; v5e has 128M VMEM, so raise it
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
+        # two emit outputs (word + valid) put even ilp=2 small-block shapes
+        # past the 16M default scoped-vmem limit; v5e has 128M VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=host_prep.VMEM_LIMIT),
         interpret=interpret,
     )(fc_rows, syms_packed)
 
@@ -498,10 +509,12 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
         T = chunk.size // n_blocks // N
         T4 = T // 4
         spk = word_tpu.pack_symbols(jnp.asarray(chunk), T4, R, n_blocks)
+        # emit word+valid 8 B/sym + packed input 1 B/sym (host_prep.pick_ilp)
         ew, ev, xlo, xhi = encode_blocks(fc_rows, spk, T4=T4, R=R,
                                          sb=cfg.prob_bits, n_blocks=n_blocks,
                                          interpret=interpret, recip=recip,
-                                         ilp=2 if n_blocks % 2 == 0 else 1)
+                                         ilp=host_prep.pick_ilp(
+                                             n_blocks, 9 * T * N))
         cap = T * N  # <=1 word per symbol
         buf, n_words = compact_emissions(ew, ev, xlo, xhi, cap, n_blocks)
         buf_np = np.asarray(buf).view(np.uint32)
@@ -548,7 +561,8 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
         spk = decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream,
                             T4=T4, R=R, sb=cfg.prob_bits, cap_rows=cap_rows,
                             n_blocks=n_blocks, interpret=interpret,
-                            ilp=2 if n_blocks % 2 == 0 else 1)
+                            ilp=host_prep.pick_ilp(
+                                n_blocks, n_symbols_block + cap_rows * 512))
         outs.append(np.asarray(word_tpu.unpack_symbols(spk, T4, R, n_blocks)))
 
     if n_full:

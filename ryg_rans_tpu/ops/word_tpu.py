@@ -242,9 +242,10 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
         ],
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        # large-R shapes (R=256) exceed the 16M default scoped-vmem limit;
-        # v5e has 128M VMEM
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        # large-R (R=256) and large-block shapes exceed the 16M default
+        # scoped-vmem limit; v5e has 128M VMEM (host_prep.VMEM_LIMIT)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=host_prep.VMEM_LIMIT),
         interpret=interpret,
     )(*tab_args, fc_rows, x0, stream2_rows)
 
@@ -322,6 +323,10 @@ def encode_blocks(enc_rows, syms_packed, *, T4: int, R: int, sb: int,
             pl.BlockSpec((ilp * R, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ),
+        # the dense emit buffer is 4 B/symbol, so big blocks blow the 16M
+        # default scoped-vmem limit (host_prep.VMEM_LIMIT / pick_ilp)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=host_prep.VMEM_LIMIT),
         interpret=interpret,
     )(enc_rows, syms_packed)
 
@@ -465,9 +470,10 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
         T = chunk.size // n_blocks // N
         T4 = T // 4
         spk = pack_symbols(jnp.asarray(chunk), T4, R, n_blocks)
+        # emit 4 B/sym + packed input 1 B/sym per block (host_prep.pick_ilp)
         emit, xf = encode_blocks(enc_rows, spk, T4=T4, R=R, sb=cfg.prob_bits,
                                  n_blocks=n_blocks, interpret=interpret,
-                                 ilp=2 if n_blocks % 2 == 0 else 1)
+                                 ilp=host_prep.pick_ilp(n_blocks, 5 * T * N))
         cap = T * N  # <=1 word per symbol
         words, n_words = compact_emissions(emit, xf, cap, n_blocks)
         words_np = np.asarray(words)
@@ -508,10 +514,12 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
         for i, b in enumerate(blocks):
             buf[i, :b.size] = b.astype(np.int32)
         x0, stream2 = prep_decode(jnp.asarray(buf), R, cap_rows, n_blocks)
+        # out 1 B/sym + stream window pair-rows per block (host_prep.pick_ilp)
         spk = decode_blocks(sym4_rows, fc_rows, x0, stream2, T4=T4, R=R,
                             sb=cfg.prob_bits, cap_rows=cap_rows,
                             n_blocks=n_blocks, interpret=interpret,
-                            ilp=2 if n_blocks % 2 == 0 else 1)
+                            ilp=host_prep.pick_ilp(
+                                n_blocks, n_symbols_block + cap_rows * 512))
         outs.append(np.asarray(unpack_symbols(spk, T4, R, n_blocks)))
 
     if n_full:

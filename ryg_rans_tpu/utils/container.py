@@ -7,7 +7,7 @@ need one, so this defines it:
 
     offset  size  field
     0       4     magic "TRNS"
-    4       1     version (=1)
+    4       1     version (1 or 2)
     5       1     variant (config.Variant)
     6       1     prob_bits
     7       1     log2(n_lanes)
@@ -19,8 +19,14 @@ need one, so this defines it:
     16      8     orig_len in bytes (u64)
     24      4     block_symbols (u32)
     28      4     reserved (0)
-    32      1024  freqs u32[256] (normalized to sum 1<<prob_bits)
-    1056    4*n_blocks*n_streams   per-substream word counts (u32)
+    32      ...   model + counts, version-dependent:
+      v1:   freqs u32[256] (sum = 1<<prob_bits), then per-substream word
+            counts u32[n_blocks][n_streams]
+      v2:   freqs as 256 prob_bits-wide LSB-first bit fields
+            (ceil(256*prob_bits/8) bytes) + 1 trailer byte (1 = degenerate
+            one-symbol model whose freq == 1<<prob_bits, with the symbol
+            index in field-area byte 0; else 0), then counts as LEB128
+            varints, row-major
     ...     4*n_blocks             crc32 per block (if flag bit0)
     ...     ceil(n_blocks/8)       raw bitmap, LSB-first (if flag bit1)
     ...     payload: per block, per substream, word-aligned little-endian
@@ -47,12 +53,103 @@ import numpy as np
 from ..config import NSYMS, RansConfig, Variant
 
 MAGIC = b"TRNS"
-VERSION = 1
+#: Default written version.  v2 (r3) shrinks the model/metadata overhead
+#: for small payloads: freqs as packed prob_bits-wide bit fields instead of
+#: raw u32[256], and per-substream word counts as LEB128 varints instead of
+#: u32 -- ~1.6 KiB -> ~0.4 KiB on a typical 2-block book1 container.  v1
+#: containers remain fully readable.
+VERSION = 2
+V1 = 1
 _HEADER = struct.Struct("<4sBBBBBBHIQII")
 assert _HEADER.size == 32
 
 FLAG_CRC = 1
 FLAG_RAW = 2
+
+
+# -- v2 compact field codecs -------------------------------------------------
+
+
+def _pack_freqs_v2(freqs: np.ndarray, prob_bits: int) -> bytes:
+    """256 frequencies as prob_bits-wide LSB-first bit fields + 1 trailer
+    byte.  A frequency can equal M = 1<<prob_bits only in the degenerate
+    single-symbol model (normalize_freqs invariant: sum == M), and M needs
+    prob_bits+1 bits; trailer byte 1 marks that case, with the symbol index
+    in byte 0 of the (otherwise meaningless) field area.  Trailer 0 = plain
+    packed fields."""
+    f = [int(x) for x in np.asarray(freqs, np.uint64)]
+    M = 1 << prob_bits
+    nbytes = (256 * prob_bits + 7) // 8
+    if M in f:
+        return bytes([f.index(M)]) + bytes(nbytes - 1) + b"\x01"
+    acc = 0
+    for i, v in enumerate(f):
+        acc |= v << (i * prob_bits)
+    return acc.to_bytes(nbytes, "little") + b"\x00"
+
+
+def freqs_v2_size(prob_bits: int) -> int:
+    return (256 * prob_bits + 7) // 8 + 1
+
+
+def _unpack_freqs_v2(buf: bytes, prob_bits: int) -> np.ndarray:
+    if buf[-1]:  # degenerate single-symbol model
+        out = np.zeros(256, np.uint32)
+        out[buf[0]] = 1 << prob_bits
+        return out
+    acc = int.from_bytes(buf[:-1], "little")
+    mask = (1 << prob_bits) - 1
+    return np.fromiter(((acc >> (i * prob_bits)) & mask for i in range(256)),
+                       np.uint32, 256)
+
+
+def _pack_varints(values) -> bytes:
+    """LEB128 for the per-substream word counts (typically 3 bytes vs 4)."""
+    out = bytearray()
+    for v in values:
+        v = int(v)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out.append(b | (0x80 if v else 0))
+            if not v:
+                break
+    return bytes(out)
+
+
+def _read_varints_mv(blob, off: int, n: int) -> tuple[np.ndarray, int]:
+    out = np.empty(n, np.uint32)
+    try:
+        for i in range(n):
+            v = shift = 0
+            while True:
+                b = blob[off]
+                off += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            out[i] = v
+    except IndexError:
+        raise ValueError("container truncated in counts") from None
+    return out, off
+
+
+def _read_varints_file(f, n: int) -> np.ndarray:
+    out = np.empty(n, np.uint32)
+    for i in range(n):
+        v = shift = 0
+        while True:
+            c = f.read(1)
+            if not c:
+                raise ValueError("container truncated in counts")
+            b = c[0]
+            v |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        out[i] = v
+    return out
 
 
 @dataclasses.dataclass
@@ -93,19 +190,27 @@ def word_dtype(variant: Variant):
 def pack_header(cfg: RansConfig, orig_len: int, freqs: np.ndarray,
                 stream_words: np.ndarray,
                 crcs: np.ndarray | None = None,
-                raw: np.ndarray | None = None) -> bytes:
+                raw: np.ndarray | None = None,
+                version: int = VERSION) -> bytes:
     """Everything before the payload bytes (header + freqs + per-substream
     word counts + optional CRCs + optional raw bitmap); used by the
-    streaming writer."""
+    streaming writer.  ``version`` selects the v1 (raw u32 fields) or v2
+    (packed freqs + varint counts) metadata encoding."""
+    if version not in (V1, VERSION):
+        raise ValueError(f"unsupported container version {version}")
     n_blocks = stream_words.shape[0] if stream_words.size else 0
     flags = (FLAG_CRC if crcs is not None else 0) \
         | (FLAG_RAW if raw is not None and np.any(raw) else 0)
     head = _HEADER.pack(
-        MAGIC, VERSION, int(cfg.variant), cfg.prob_bits,
+        MAGIC, version, int(cfg.variant), cfg.prob_bits,
         cfg.n_lanes.bit_length() - 1, cfg.lanes_per_stream.bit_length() - 1,
         flags, 0, n_blocks, orig_len, cfg.block_symbols, 0)
-    parts = [head, np.asarray(freqs, np.uint32).tobytes(),
-             np.asarray(stream_words, np.uint32).tobytes()]
+    if version == V1:
+        parts = [head, np.asarray(freqs, np.uint32).tobytes(),
+                 np.asarray(stream_words, np.uint32).tobytes()]
+    else:
+        parts = [head, _pack_freqs_v2(freqs, cfg.prob_bits),
+                 _pack_varints(np.asarray(stream_words).reshape(-1))]
     if crcs is not None:
         parts.append(np.asarray(crcs, np.uint32).tobytes())
     if flags & FLAG_RAW:
@@ -117,11 +222,12 @@ def pack_header(cfg: RansConfig, orig_len: int, freqs: np.ndarray,
 def pack(cfg: RansConfig, orig_len: int, freqs: np.ndarray,
          payloads: list[list[np.ndarray]],
          crcs: np.ndarray | None = None,
-         raw: np.ndarray | None = None) -> bytes:
+         raw: np.ndarray | None = None,
+         version: int = VERSION) -> bytes:
     counts = np.zeros((len(payloads), cfg.n_streams), np.uint32)
     for b, blk in enumerate(payloads):
         counts[b, :len(blk)] = [s.size for s in blk]
-    parts = [pack_header(cfg, orig_len, freqs, counts, crcs, raw)]
+    parts = [pack_header(cfg, orig_len, freqs, counts, crcs, raw, version)]
     wdt = word_dtype(cfg.variant)
     for b, blk in enumerate(payloads):
         dt = np.uint8 if raw is not None and raw[b] else wdt
@@ -140,18 +246,26 @@ def read_header(f) -> tuple["Container", int]:
      n_blocks, orig_len, block_symbols, _rsv2) = _HEADER.unpack(head)
     if magic != MAGIC:
         raise ValueError("not a TRNS container")
-    if version != VERSION:
+    if version not in (V1, VERSION):
         raise ValueError(f"unsupported container version {version}")
     cfg = RansConfig(
         variant=Variant(variant), prob_bits=prob_bits,
         n_lanes=1 << log_lanes, lanes_per_stream=1 << log_lpg,
         block_symbols=block_symbols, checksum=bool(flags & FLAG_CRC))
-    freqs = np.frombuffer(f.read(4 * NSYMS), np.uint32).copy()
     ns = cfg.n_streams
-    counts = np.frombuffer(f.read(4 * n_blocks * ns),
-                           np.uint32).reshape(n_blocks, ns).copy()
+    off = _HEADER.size
+    if version == V1:
+        freqs = np.frombuffer(f.read(4 * NSYMS), np.uint32).copy()
+        counts = np.frombuffer(f.read(4 * n_blocks * ns),
+                               np.uint32).reshape(n_blocks, ns).copy()
+        off += 4 * NSYMS + 4 * n_blocks * ns
+    else:
+        fb = freqs_v2_size(prob_bits)
+        freqs = _unpack_freqs_v2(f.read(fb), prob_bits)
+        pos0 = f.tell()
+        counts = _read_varints_file(f, n_blocks * ns).reshape(n_blocks, ns)
+        off += fb + (f.tell() - pos0)
     crcs = None
-    off = _HEADER.size + 4 * NSYMS + 4 * n_blocks * ns
     if flags & FLAG_CRC:
         crcs = np.frombuffer(f.read(4 * n_blocks), np.uint32).copy()
         off += 4 * n_blocks
@@ -169,26 +283,36 @@ def read_header(f) -> tuple["Container", int]:
 
 def unpack(blob: bytes | memoryview) -> Container:
     blob = memoryview(blob)
-    if len(blob) < _HEADER.size + 4 * NSYMS:
+    if len(blob) < _HEADER.size:
         raise ValueError("container truncated")
     (magic, version, variant, prob_bits, log_lanes, log_lpg, flags, _rsv,
      n_blocks, orig_len, block_symbols, _rsv2) = _HEADER.unpack(
         blob[:_HEADER.size])
     if magic != MAGIC:
         raise ValueError("not a TRNS container")
-    if version != VERSION:
+    if version not in (V1, VERSION):
         raise ValueError(f"unsupported container version {version}")
     cfg = RansConfig(
         variant=Variant(variant), prob_bits=prob_bits,
         n_lanes=1 << log_lanes, lanes_per_stream=1 << log_lpg,
         block_symbols=block_symbols, checksum=bool(flags & FLAG_CRC))
     off = _HEADER.size
-    freqs = np.frombuffer(blob[off:off + 4 * NSYMS], np.uint32).copy()
-    off += 4 * NSYMS
     ns = cfg.n_streams
-    counts = np.frombuffer(
-        blob[off:off + 4 * n_blocks * ns], np.uint32).reshape(n_blocks, ns)
-    off += 4 * n_blocks * ns
+    if version == V1:
+        freqs = np.frombuffer(blob[off:off + 4 * NSYMS], np.uint32).copy()
+        off += 4 * NSYMS
+        counts = np.frombuffer(
+            blob[off:off + 4 * n_blocks * ns],
+            np.uint32).reshape(n_blocks, ns)
+        off += 4 * n_blocks * ns
+    else:
+        fb = freqs_v2_size(prob_bits)
+        if len(blob) < off + fb:
+            raise ValueError("container truncated")
+        freqs = _unpack_freqs_v2(bytes(blob[off:off + fb]), prob_bits)
+        off += fb
+        counts, off = _read_varints_mv(blob, off, n_blocks * ns)
+        counts = counts.reshape(n_blocks, ns)
     crcs = None
     if flags & FLAG_CRC:
         crcs = np.frombuffer(blob[off:off + 4 * n_blocks], np.uint32).copy()
