@@ -6,6 +6,7 @@ root: `python benchmarks/bench_encode.py`.
 """
 
 import functools
+import json
 import os
 import sys
 import time
@@ -25,7 +26,8 @@ def main():
 
     book1 = np.frombuffer(open("/root/reference/book1", "rb").read(),
                           np.uint8)
-    R, NB, BS = 64, 32, 1 << 19
+    # R=128 fastest for every variant (r2 sweep, docs/DESIGN.md)
+    R, NB, BS = 128, 32, 1 << 19
     N = R * 128
     SYMS = NB * BS
     data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
@@ -56,6 +58,7 @@ def main():
         return SYMS / ((b - a) / 32) / 1e9
 
     T4 = BS // N // 4
+    rows = []
     for variant in (Variant.WORD, Variant.BYTE, Variant.ALIAS,
                     Variant.RANS64):
         pb = min(DEFAULT_PROB_BITS[variant], 15) \
@@ -80,6 +83,18 @@ def main():
         gbs = slope(fn, spk)
         print(f"{variant.name:6s} pb={pb:2d} encode {gbs:6.2f} GB/s "
               f"(dense kernel, ilp=2)", flush=True)
+        rows.append({"variant": variant.name, "prob_bits": pb,
+                     "encode_kernel_gbs": round(gbs, 3)})
+
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            json.dump({"shape": {"R": R, "n_blocks": NB,
+                                 "block_symbols": BS},
+                       "note": ("dense Pallas encode kernel only; the "
+                                "e2e encode-to-container number lives in "
+                                "benchmarks/bench_e2e.py output"),
+                       "rows": rows}, f, indent=1)
+        print(f"wrote {sys.argv[1]}", flush=True)
 
 
 if __name__ == "__main__":

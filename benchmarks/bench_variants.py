@@ -1,10 +1,12 @@
-"""Per-variant decode/encode throughput on real TPU (dispatch-slope method).
+"""Per-variant decode throughput on real TPU (dispatch-slope method).
 
-Prints one line per variant; the headline metric stays in bench.py.
-Run: `python benchmarks/bench_variants.py` (from the repo root).
+Prints one line per variant and writes a JSON artifact when given a path:
+`python benchmarks/bench_variants.py [out.json]`.  The headline metric
+stays in bench.py.
 """
 
 import functools
+import json
 import os
 import sys
 import time
@@ -24,8 +26,9 @@ def main():
 
     book1 = np.frombuffer(open("/root/reference/book1", "rb").read(),
                           np.uint8)
-    # R=128 measured fastest for every variant (r2 sweep, docs/DESIGN.md)
-    R, NB, BS = 128, 32, 1 << 19
+    # R=128 measured fastest for every variant (r2 sweep, docs/DESIGN.md);
+    # NB=24 divides by 3 so RANS64 can run its preferred ilp=3 (r3)
+    R, NB, BS = 128, 24, 1 << 19
     N = R * 128
     SYMS = NB * BS
     data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
@@ -58,11 +61,12 @@ def main():
         b = min(run(28) for _ in range(5))
         return SYMS / ((b - a) / 24) / 1e9
 
-    for variant in (Variant.WORD, Variant.BYTE, Variant.ALIAS,
-                    Variant.RANS64):
-        pb = DEFAULT_PROB_BITS[variant]
-        if variant == Variant.RANS64:
-            pb = min(pb, 15)
+    rows = []
+    for variant, pb in ((Variant.WORD, DEFAULT_PROB_BITS[Variant.WORD]),
+                        (Variant.BYTE, DEFAULT_PROB_BITS[Variant.BYTE]),
+                        (Variant.ALIAS, DEFAULT_PROB_BITS[Variant.ALIAS]),
+                        (Variant.RANS64, DEFAULT_PROB_BITS[Variant.RANS64]),
+                        (Variant.RANS64, 31)):
         cfg = RansConfig(variant=variant, prob_bits=pb, n_lanes=N,
                          lanes_per_stream=N, block_symbols=BS)
         freqs, cum = stats.build_model(data, pb)
@@ -99,7 +103,9 @@ def main():
             x0s = (x0,)
         else:
             s4, fc = rans64_tpu.pack_dec_tables(freqs, cum, pb)
-            tabs = (jnp.asarray(s4), jnp.asarray(fc))
+            # pb > 16: no slot table, wide-fc bisect path (s4 is None)
+            tabs = (jnp.asarray(s4) if s4 is not None else None,
+                    jnp.asarray(fc))
             blocks, _ = rans64_tpu.encode(cfg, data, freqs, cum,
                                           interpret=False)
             cap = rans64_tpu.decode_cap_rows(max(b.size for b in blocks), R)
@@ -109,9 +115,10 @@ def main():
             x0lo, x0hi, st = rans64_tpu.prep_decode(
                 jnp.asarray(buf.view(np.int32)), R, cap, NB)
             T4 = BS // N // 4
-            fn = lambda x0s, st: rans64_tpu.decode_blocks(
-                *tabs, x0s[0], x0s[1], st, T4=T4, R=R, sb=pb, cap_rows=cap,
-                n_blocks=NB, ilp=2)
+            # ilp=3 for RANS64: its longer limb chain gains ~5% (r3)
+            fn = lambda x0s, st, _pb=pb, _cap=cap: rans64_tpu.decode_blocks(
+                *tabs, x0s[0], x0s[1], st, T4=T4, R=R, sb=_pb, cap_rows=_cap,
+                n_blocks=NB, ilp=3)
             x0s = (x0lo, x0hi)
 
         # correctness gate
@@ -123,6 +130,16 @@ def main():
         print(f"{variant.name:6s} pb={pb:2d} decode {gbs:6.3f} GB/s  "
               f"payload {payload} B  roundtrip={'ok' if ok else 'FAIL'}",
               flush=True)
+        rows.append({"variant": variant.name, "prob_bits": pb,
+                     "decode_gbs": round(gbs, 3), "payload_bytes": payload,
+                     "roundtrip_ok": bool(ok)})
+
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            json.dump({"shape": {"R": R, "n_blocks": NB,
+                                 "block_symbols": BS}, "rows": rows}, f,
+                      indent=1)
+        print(f"wrote {sys.argv[1]}", flush=True)
 
 
 if __name__ == "__main__":

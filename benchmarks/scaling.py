@@ -117,7 +117,6 @@ def mode_grid():
     cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=R * 128,
                      block_symbols=BS)
     records = []
-    base = None
     for NB in (1, 2, 4, 8, 16, 32):
         SYMS = NB * BS
         data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
@@ -125,12 +124,14 @@ def mode_grid():
         run = _decode_timer(cfg, data, freqs, cum, interpret)
         sec = _slope(run, 8, 40)
         gbs = SYMS / sec / 1e9
-        if base is None:
-            base = gbs
-        eff = gbs / (base * NB) * 100
-        records.append({"n_blocks": NB, "decode_gbs": round(gbs, 3),
-                        "vs_linear_pct": round(eff, 1)})
+        records.append({"n_blocks": NB, "decode_gbs": round(gbs, 3)})
         print(f"grid n_blocks={NB:3d}: {gbs:8.3f} GB/s", flush=True)
+    # one chip is a single saturated resource: the success criterion is
+    # FLAT throughput as blocks grow (block count only changes how work is
+    # fed, total rate should hold at the chip's peak)
+    peak = max(r["decode_gbs"] for r in records)
+    for r in records:
+        r["vs_peak_pct"] = round(100 * r["decode_gbs"] / peak, 1)
     return records
 
 
@@ -205,10 +206,15 @@ def _mesh_records(weak: bool):
         sec = _slope(run, 1, 5, best_of=3)
         if base_sec is None:
             base_sec = sec
-        # In both modes flat wall time == 100%: weak mode grows total work
-        # with ndev (so flat time = perfect scaling), conserve mode holds
-        # total work fixed (so flat time = zero sharding overhead).
-        eff = base_sec / sec * 100
+        if weak:
+            # total work grows with ndev on ONE shared core, so normalize
+            # per unit of work: 100% = wall time grows exactly with work
+            # (zero decomposition overhead); >100% = batching amortizes
+            eff = base_sec * ndev / sec * 100
+        else:
+            # total work fixed: 100% = flat wall time = zero sharding
+            # overhead on the shared core
+            eff = base_sec / sec * 100
         records.append({"devices": ndev, "roundtrip_ok": bool(ok),
                         "seconds_per_pass": round(sec, 4),
                         "efficiency_pct": round(eff, 1)})

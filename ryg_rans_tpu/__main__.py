@@ -28,14 +28,24 @@ from .utils import container as cont
 _VARIANTS = {v.name.lower(): v for v in Variant}
 
 
-def _cfg_from_args(args) -> RansConfig:
+def _cfg_from_args(args, n_bytes: int = 0) -> RansConfig:
     variant = _VARIANTS[args.variant]
+    if args.lanes == 0:
+        # size-adaptive shape, like api.compress with no config
+        auto = RansConfig.auto(n_bytes, variant)
+        return RansConfig(
+            variant=variant,
+            prob_bits=args.prob_bits or auto.prob_bits,
+            n_lanes=auto.n_lanes,
+            block_symbols=args.block_symbols or auto.block_symbols,
+            checksum=not args.no_crc,
+        )
     return RansConfig(
         variant=variant,
         prob_bits=args.prob_bits or DEFAULT_PROB_BITS[variant],
         n_lanes=args.lanes,
         lanes_per_stream=args.lanes_per_stream or args.lanes,
-        block_symbols=args.block_symbols,
+        block_symbols=args.block_symbols or (1 << 19),
         checksum=not args.no_crc,
     )
 
@@ -44,11 +54,13 @@ def _add_codec_flags(p: argparse.ArgumentParser):
     p.add_argument("--variant", choices=sorted(_VARIANTS), default="word")
     p.add_argument("--prob-bits", type=int, default=0,
                    help="0 = variant default (14/12/14/16)")
-    p.add_argument("--lanes", type=int, default=1024,
-                   help="interleaved coder states (power of two)")
+    p.add_argument("--lanes", type=int, default=0,
+                   help="interleaved coder states (power of two); "
+                        "0 = size-adaptive (RansConfig.auto)")
     p.add_argument("--lanes-per-stream", type=int, default=0,
                    help="0 = one substream (TPU kernel layout)")
-    p.add_argument("--block-symbols", type=int, default=1 << 19)
+    p.add_argument("--block-symbols", type=int, default=0,
+                   help="0 = size-adaptive default")
     p.add_argument("--no-crc", action="store_true")
     p.add_argument("--backend", choices=("auto", "tpu", "native", "numpy"),
                    default="auto")
@@ -56,8 +68,8 @@ def _add_codec_flags(p: argparse.ArgumentParser):
 
 def cmd_compress(args) -> int:
     from .utils import stream_io
-    cfg = _cfg_from_args(args)
     n_in = os.path.getsize(args.input)
+    cfg = _cfg_from_args(args, n_in)
     t0 = time.perf_counter()
     n_out = stream_io.compress_file(args.input, args.output, cfg,
                                     backend=args.backend)
@@ -112,7 +124,7 @@ def cmd_bench(args) -> int:
     """Reference-style harness: 5 timed runs each way, poison + memcmp
     verify (main.cpp:164-214)."""
     data = open(args.input, "rb").read()
-    cfg = _cfg_from_args(args)
+    cfg = _cfg_from_args(args, len(data))
     n = len(data)
     print(f"{cfg.variant.name.lower()} rANS encode/decode "
           f"(prob_bits={cfg.prob_bits}, lanes={cfg.n_lanes}, "

@@ -173,3 +173,26 @@ class RansConfig:
             lanes_per_stream=n_lanes,
             checksum=False,
         )
+
+    @classmethod
+    def auto(cls, n_bytes: int, variant: Variant = Variant.WORD) -> "RansConfig":
+        """Size-adaptive config: the shape `compress(data)` uses by default.
+
+        Every extra lane costs ~4 B of flushed state per block (the
+        interleave head, docs/FORMAT.md; the reference pays the same 4 B
+        per extra state, main.cpp README:62), while decode speed grows
+        with lane count up to the tuned 16384 (R=128, docs/DESIGN.md).
+        This picks the largest lane count whose per-block head stays under
+        ~0.8% of the input (n_lanes <= n_bytes/512), so small inputs get
+        ratio-optimal shapes and large inputs converge to the benchmarked
+        Pareto point (16384 lanes, 2^23-symbol blocks: 12.5+ GB/s decode
+        at ~1% size overhead).
+        """
+        n = 1024
+        while n < 16384 and n * 2 * 512 <= max(n_bytes, 1):
+            n *= 2
+        bs = 4 * n
+        while bs < (1 << 23) and bs < max(n_bytes, 1):
+            bs *= 2
+        return cls(variant=variant, prob_bits=DEFAULT_PROB_BITS[variant],
+                   n_lanes=n, block_symbols=bs)

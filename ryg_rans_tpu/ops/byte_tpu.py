@@ -290,7 +290,7 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
 # ---------------------------------------------------------------------------
 
 def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
-                   ilp: int = 1):
+                   ilp: int = 1, hoist32: bool = True):
     """Reverse-walk encode emitting one (k<<16 | fwd0<<8 | fwd1) cell per
     (step, lane); <=2 renorm bytes per symbol (rans_byte.h:62-74)."""
     if alias:
@@ -314,6 +314,13 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         s256 = _g0(256)
         s128, s384 = _g0(128), _g0(384)
         s64, s192, s320, s448 = _g0(64), _g0(192), _g0(320), _g0(448)
+        # level-1 compare key with the & 0xFFFF pre-applied (the deeper
+        # levels' keys come out of selects, where an AND costs the same)
+        s256k = s256 & 0xFFFF
+        # hoist32: the stride-32 candidates are 8 more constants; a
+        # 7-select tree in the loop replaces that level's gather (r3 A/B)
+        if hoist32:
+            s32c = [_g0(32 + 64 * i) for i in range(8)]
     else:
         fc_ref, in_ref, emit_ref, xout_ref = refs
     fc = fc_ref[:]
@@ -349,8 +356,8 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
             # bound here, not depth-bound.)
             idx = r + start
             # hoisted levels 256/128/64: selects over the precomputed
-            # constant keys, no gathers
-            a1 = (s256 & 0xFFFF) <= idx
+            # constant keys (start fields pre-ANDed above), no gathers
+            a1 = s256k <= idx
             lo = jnp.where(a1, 256, 0)
             ebest = jnp.where(a1, s256, sE0)
             ev = jnp.where(a1, s384, s128)          # entry lo + 128
@@ -362,7 +369,18 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
             a3 = (ev & 0xFFFF) <= idx
             lo = lo + jnp.where(a3, 64, 0)
             ebest = jnp.where(a3, ev, ebest)
-            for step in (32, 16, 8, 4, 2):
+            if hoist32:
+                # entry lo + 32 from the 8 hoisted constants: a select
+                # tree (7 wheres) instead of a dependent lane-gather
+                t = [jnp.where(a3, s32c[2 * i + 1], s32c[2 * i])
+                     for i in range(4)]
+                u0 = jnp.where(a2, t[1], t[0])
+                u1 = jnp.where(a2, t[3], t[2])
+                ev = jnp.where(a1, u1, u0)
+                a4 = (ev & 0xFFFF) <= idx
+                lo = lo + jnp.where(a4, 32, 0)
+                ebest = jnp.where(a4, ev, ebest)
+            for step in ((16, 8, 4, 2) if hoist32 else (32, 16, 8, 4, 2)):
                 row = sp_row[0] if step >= 4 else sp_row[2]
                 cand = lo + step
                 ev = jnp.take_along_axis(row, lanes.srl(cand, 2), axis=1)
@@ -402,10 +420,11 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "n_blocks",
-                                             "alias", "interpret", "ilp"))
+                                             "alias", "interpret", "ilp",
+                                             "hoist32"))
 def encode_blocks(tables, syms_packed, *, T4: int, R: int, sb: int,
                   n_blocks: int, alias: bool, interpret: bool = False,
-                  ilp: int = 1):
+                  ilp: int = 1, hoist32: bool = True):
     """Grid dense encode.  tables: (fc,) or (fc, seg_packed).
     Returns (emit cells (n_blocks*4*T4*R,128) i32, states (n_blocks*R,128))."""
     if not interpret and R < 2:
@@ -418,7 +437,7 @@ def encode_blocks(tables, syms_packed, *, T4: int, R: int, sb: int,
     ]
     return pl.pallas_call(
         functools.partial(_encode_kernel, T4=T4, R=R, sb=sb, alias=alias,
-                          ilp=ilp),
+                          ilp=ilp, hoist32=hoist32),
         grid=(n_blocks // ilp,),
         out_shape=(
             jax.ShapeDtypeStruct((n_blocks * 4 * T4 * R, 128), jnp.int32),

@@ -81,11 +81,17 @@ VMEM_LIMIT = 100 << 20
 _ILP_BUDGET = 96 << 20
 
 
-def pick_ilp(n_blocks: int, bytes_per_block: int) -> int:
-    """2-block ILP (+25% decode, docs/DESIGN.md) when the doubled footprint
-    still fits the scoped-VMEM budget, else 1."""
-    if n_blocks % 2 == 0 and 4 * bytes_per_block <= _ILP_BUDGET:
-        return 2
+def pick_ilp(n_blocks: int, bytes_per_block: int,
+             prefer: tuple = (2,)) -> int:
+    """Block-ILP width (+25% decode at 2, docs/DESIGN.md) whose footprint
+    still fits the scoped-VMEM budget.  ``prefer`` lists widths best-first:
+    RANS64 decode passes (3, 2) -- its longer limb-arithmetic dependency
+    chain gains another ~5% from a third independent chain (r3 measured
+    10.0 vs 9.6 GB/s at pb=14), where WORD/BYTE measured neutral-to-worse
+    beyond 2 (vreg pressure, r2 dead-end list)."""
+    for c in prefer:
+        if n_blocks % c == 0 and 2 * c * bytes_per_block <= _ILP_BUDGET:
+            return c
     return 1
 
 

@@ -42,8 +42,9 @@ def compress_file(src: str, dst: str, cfg: RansConfig | None = None,
     memory.  Returns the container size in bytes."""
     from .. import api
 
-    cfg = cfg or RansConfig()
     counts, orig_len = _hist_file(src)
+    # size-adaptive default, like api.compress (RansConfig.auto)
+    cfg = cfg or RansConfig.auto(orig_len)
     if orig_len == 0:
         blob = cont.pack(cfg, 0, np.zeros(256, np.uint32), [], None)
         with open(dst, "wb") as f:

@@ -67,3 +67,19 @@ def test_single_block_small_lane_configs_supported():
     assert api._tpu_supported(cfg, 1 << 15)        # fits one block
     assert not api._tpu_supported(cfg, 1 << 16)    # needs 2 blocks
     assert not api._tpu_supported(cfg)             # size unknown
+
+
+def test_auto_config_adapts_to_size():
+    """rt.compress(data) with no config uses RansConfig.auto: every shape
+    it picks must reach the Pallas kernels, keep the flushed-lane head
+    under ~1% of the input, and converge to the benchmarked Pareto shape
+    (16384 lanes, 2^23-symbol blocks) for large inputs."""
+    for size in (0, 1, 5000, 700_000, 768_771, 4 << 20, 33 << 20, 1 << 28):
+        cfg = RansConfig.auto(size)
+        assert api._tpu_supported(cfg, size), (size, cfg)
+        assert cfg.block_symbols % (4 * cfg.n_lanes) == 0
+        if size >= 1 << 20:
+            assert 4 * cfg.n_lanes <= 0.01 * size  # head budget per block
+    assert RansConfig.auto(768_771).n_lanes == 1024   # book1: ratio-optimal
+    big = RansConfig.auto(33 << 20)
+    assert big.n_lanes == 16384 and big.block_symbols == 1 << 23
