@@ -16,8 +16,8 @@ reference likewise times only its codec loops, main.cpp:169-186); the scan
 carry makes each repetition data-dependent so no dispatch is elided.
 Decoded output is byte-compared against the input before timing; a
 candidate that fails the round-trip scores 0.  The headline is the fastest
-of WORD pb=11 and pb=12 (R=128 = 16384 lanes; pb=11 halves the cum2sym
-gather rows and costs <0.1 bits/byte) at ONE shape that meets both
+of ALIAS pb=16 (O(1) lookup in 6 gather rows -- r3 repack) and WORD pb=11
+(4-row cum2sym), both at R=128 = 16384 lanes, at ONE shape that meets both
 north-star halves simultaneously: 2^23-symbol blocks amortize the 64 KiB
 flushed-lane-state head to 0.8% (the r2 shape, 2^19, paid 24% --
 benchmarks/tune_blocksize.py sweep, docs/DESIGN.md), and the container is
@@ -155,13 +155,14 @@ def main():
     R, NB, BS = 128, 4, 1 << 23
     SYMS = NB * BS
     data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
-    models = {pb: stats.build_model(data, pb) for pb in (11, 12)}
+    models = {pb: stats.build_model(data, pb) for pb in (11, 16)}
 
-    # WORD pb=11 halves the cum2sym gather rows (4 vs 8): 13.9 vs 12.6
-    # GB/s measured (r3), at 4.590 vs 4.581 bits/byte -- both within the
-    # <=2%-of-reference ratio budget, so the headline takes the fastest.
+    # Candidates within the <=2%-of-reference ratio budget, fastest wins:
+    # ALIAS pb16 with the 6-gather-row tables measured 14.5-14.9 GB/s at
+    # the BEST ratio (4.582 b/B); WORD pb11 (4 cum2sym rows) 13.6-13.9 at
+    # 4.590 (r3, docs/DESIGN.md).
     results = {}
-    for name, pb in (("WORD", 11), ("WORD", 12)):
+    for name, pb in (("ALIAS", 16), ("WORD", 11)):
         key = f"{name}_pb{pb}"
         try:
             results[key] = _bench_variant(name, pb, data, models, R, NB, BS)

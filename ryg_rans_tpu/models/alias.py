@@ -143,13 +143,3 @@ def make_alias_tables(
     )
 
 
-def pack_alias_dec_tables(tab: AliasTables, scale_bits: int):
-    """Pack the four decoder tables into two uint32 arrays for the TPU kernel.
-
-    packed_a[bucket2] = slot_freqs:16 | sym_id:8 in low 24 bits -> exact in
-    fp32/i32 gathers; slot_adjust kept separate (needs up to scale_bits+1
-    bits).  Returns (divider[256] u32, packed_a[512] u32, adjust[512] u32).
-    """
-    assert np.all(tab.slot_freqs <= 0xFFFF)
-    packed_a = (tab.slot_freqs.astype(np.uint32) << 8) | tab.sym_id
-    return tab.divider.copy(), packed_a, tab.slot_adjust.copy()

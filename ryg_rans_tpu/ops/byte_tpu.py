@@ -61,12 +61,32 @@ def pack_byte_dec_tables(freqs, cum_freqs, sb: int):
 
 
 def pack_alias_dec_tables(freqs, cum_freqs, sb: int):
-    """(divider (2,128), packed freq<<8|sym (4,128), adjust (4,128))."""
+    """Alias decode tables in 6 gather rows (r3; was 10).
+
+    The reference keeps divider[256], slot_freqs/slot_adjust/sym_id[512] as
+    four arrays (main_alias.cpp:47-72); here they pack into three:
+
+      div2  (1,128): divider 2-per-int32 (16-bit halves, bucket parity);
+      pa    (4,128): per-bucket2 (adj & 0xFF) << 24 | (freq-1) << 16-ish --
+                     exactly sym:8 | freq-1:16 | adj_lo:8, 32 bits total
+                     (freq-1 keeps the degenerate freq = 2^16 exact; a
+                     zero-slot half is never selected, so its clamp is
+                     harmless);
+      adjhi (1,128): slot_adjust >> 8 (8 bits each, 4-per-int32).
+    """
     tab = alias_mod.make_alias_tables(freqs, cum_freqs, sb)
-    div, pa, adj = alias_mod.pack_alias_dec_tables(tab, sb)
-    return (div.view(np.int32).reshape(2, 128),
+    assert np.all(tab.slot_adjust < (1 << 16))
+    assert np.all(tab.divider < (1 << 16))
+    f1 = (np.maximum(tab.slot_freqs, 1) - 1).astype(np.uint32)
+    adj = tab.slot_adjust.astype(np.uint32)
+    pa = ((adj & 0xFF) << 24) | (f1 << 8) | tab.sym_id
+    ah = adj >> 8
+    adjhi = ah[0::4] | (ah[1::4] << 8) | (ah[2::4] << 16) | (ah[3::4] << 24)
+    d = tab.divider.astype(np.uint32)
+    div2 = d[0::2] | (d[1::2] << 16)
+    return (div2.view(np.int32).reshape(1, 128),
             pa.view(np.int32).reshape(4, 128),
-            adj.view(np.int32).reshape(4, 128))
+            adjhi.view(np.int32).reshape(1, 128))
 
 
 def pack_enc_tables(freqs, cum_freqs) -> np.ndarray:
@@ -173,13 +193,22 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         slot = x & M1
         if alias:
             # O(1) alias lookup (RansDecGetAlias, main_alias.cpp:252-267)
+            # in 6 gather rows: paired dividers, fused sym|freq-1|adj_lo
+            # entry, 4-packed adj_hi plane (pack_alias_dec_tables)
             bucket = lanes.srl(slot, sb - 8)
-            dv = lanes.table_lookup(div, bucket, 2, (R, 128))
+            bh = lanes.srl(bucket, 1)
+            # b2 >> 2 == bucket >> 1 for either compare outcome, so the
+            # adj_hi gather is independent of the divider compare and
+            # issues in parallel with it
+            dw = lanes.row_gather(div, bh, (R, 128))
+            aw = lanes.row_gather(adj, bh, (R, 128))
+            dv = lanes.srl(dw, (bucket & 1) << 4) & 0xFFFF
             b2 = 2 * bucket + (slot < dv).astype(jnp.int32)
             e = lanes.table_lookup(pa, b2, 4, (R, 128))
-            av = lanes.table_lookup(adj, b2, 4, (R, 128))
+            av = ((lanes.srl(aw, (b2 & 3) << 3) & 0xFF) << 8) \
+                | lanes.srl(e, 24)
             sym = e & 0xFF
-            freq = lanes.srl(e, 8)
+            freq = (lanes.srl(e, 8) & 0xFFFF) + 1
             x = freq * lanes.srl(x, sb) + slot - av
         elif _use_bisect(sb):
             # binary search on cum (16 row-gathers) beats the 4-packed

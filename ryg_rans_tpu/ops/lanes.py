@@ -75,6 +75,12 @@ def table_lookup(table_rows, idx, rows: int, shape):
     return out
 
 
+def row_gather(row128, col, shape):
+    """Single-row lane gather: ``row128[0, col]`` per lane for a (1,128)
+    table (table_lookup without the row-select, for <=128-entry tables)."""
+    return jnp.take_along_axis(jnp.broadcast_to(row128, shape), col, axis=1)
+
+
 def cum2sym_bisect(cn_rows, slot, shape, consts=None):
     """slot -> symbol via branchless rank search over a (2,128) table of
     full-width cum[s+1] keys (rows 2-3 of host_prep.pack_sym4_fc's table,

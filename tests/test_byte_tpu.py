@@ -140,3 +140,45 @@ def test_byte_renorm_worst_case(rng):
     dec = byte_tpu.decode(cfg, blocks, padded_size, freqs, cum,
                           interpret=True)
     assert np.array_equal(dec[:data.size], data)
+
+
+def test_alias_single_symbol_model_pb16():
+    """Degenerate one-symbol model through the 6-row alias decode tables
+    (r3 repack): slot_freqs = 2^16 must survive the freq-1 field, and the
+    never-selected zero-slot halves must stay harmless."""
+    cfg = RansConfig(variant=Variant.ALIAS, prob_bits=16, n_lanes=128,
+                     lanes_per_stream=128, block_symbols=4096)
+    data = np.full(4096, 200, np.uint8)
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+    assert int(freqs[200]) == 1 << 16
+    blocks, padded_size = byte_tpu.encode(cfg, data, freqs, cum,
+                                          interpret=True)
+    ref = oracle.encode(cfg, data, freqs, cum)[0]
+    assert np.array_equal(blocks[0], ref)
+    dec = byte_tpu.decode(cfg, blocks, padded_size, freqs, cum,
+                          interpret=True)
+    assert np.array_equal(dec[:data.size], data)
+
+
+def test_alias_dec_table_pack_fields(book1_head):
+    """The fused 32-bit alias entry (adj_lo:8|freq-1:16|sym:8) and the
+    4-packed adj_hi plane reproduce the raw AliasTables fields."""
+    from ryg_rans_tpu.models import alias as alias_mod
+
+    freqs, cum = stats.build_model(book1_head, 16)
+    tab = alias_mod.make_alias_tables(freqs, cum, 16)
+    div2, pa, adjhi = byte_tpu.pack_alias_dec_tables(freqs, cum, 16)
+    div2 = div2.reshape(-1).view(np.uint32)
+    pa = pa.reshape(-1).view(np.uint32)
+    adjhi = adjhi.reshape(-1).view(np.uint32)
+    for b2 in range(512):
+        e = int(pa[b2])
+        ah = (int(adjhi[b2 >> 2]) >> ((b2 & 3) * 8)) & 0xFF
+        adj = (ah << 8) | (e >> 24)
+        assert adj == int(tab.slot_adjust[b2])
+        assert (e & 0xFF) == int(tab.sym_id[b2])
+        if tab.slot_freqs[b2] > 0:
+            assert ((e >> 8) & 0xFFFF) + 1 == int(tab.slot_freqs[b2])
+    for b in range(256):
+        dv = (int(div2[b >> 1]) >> ((b & 1) * 16)) & 0xFFFF
+        assert dv == int(tab.divider[b])
