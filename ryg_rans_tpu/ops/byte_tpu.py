@@ -350,6 +350,10 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         # 7-select tree in the loop replaces that level's gather (r3 A/B)
         if hoist32:
             s32c = [_g0(32 + 64 * i) for i in range(8)]
+        # hoist16: one level further (16 constants, 15-select tree); A/B
+        # hook -- vreg pressure vs one more dependent gather
+        if hoist32 == 16:
+            s16c = [_g0(16 + 32 * i) for i in range(16)]
     else:
         fc_ref, in_ref, emit_ref, xout_ref = refs
     fc = fc_ref[:]
@@ -409,7 +413,19 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
                 a4 = (ev & 0xFFFF) <= idx
                 lo = lo + jnp.where(a4, 32, 0)
                 ebest = jnp.where(a4, ev, ebest)
-            for step in ((16, 8, 4, 2) if hoist32 else (32, 16, 8, 4, 2)):
+            if hoist32 == 16:
+                t = [jnp.where(a4, s16c[2 * i + 1], s16c[2 * i])
+                     for i in range(8)]
+                t = [jnp.where(a3, t[2 * i + 1], t[2 * i]) for i in range(4)]
+                u0 = jnp.where(a2, t[1], t[0])
+                u1 = jnp.where(a2, t[3], t[2])
+                ev = jnp.where(a1, u1, u0)
+                a5 = (ev & 0xFFFF) <= idx
+                lo = lo + jnp.where(a5, 16, 0)
+                ebest = jnp.where(a5, ev, ebest)
+            steps = {False: (32, 16, 8, 4, 2), True: (16, 8, 4, 2),
+                     16: (8, 4, 2)}[hoist32]
+            for step in steps:
                 row = sp_row[0] if step >= 4 else sp_row[2]
                 cand = lo + step
                 ev = jnp.take_along_axis(row, lanes.srl(cand, 2), axis=1)
