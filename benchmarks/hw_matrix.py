@@ -35,20 +35,31 @@ def run_matrix(out_path: str) -> int:
         for pb in (9, 12, 13, 14, 15, 16, 20, 24, 31):
             if pb <= maxpb:
                 cases.append((v, pb))
+    # precision matrix at a small shape, plus the HEADLINE shapes (16384
+    # lanes, big blocks -- the configs bench.py and RansConfig.auto
+    # actually ship for large inputs) at full scale
+    big = np.tile(book1, ((1 << 24) // book1.size) + 1)[:1 << 24].tobytes()
+    shaped = [(v, pb, 1024, 1 << 16, data) for v, pb in cases]
+    shaped += [
+        (Variant.ALIAS, 16, 16384, 1 << 23, big),
+        (Variant.WORD, 11, 16384, 1 << 23, big),
+    ]
     rows = []
-    for v, pb in cases:
-        cfg = RansConfig(variant=v, prob_bits=pb, n_lanes=1024,
-                         block_symbols=1 << 16)
+    for v, pb, lanes, bs, payload in shaped:
+        cfg = RansConfig(variant=v, prob_bits=pb, n_lanes=lanes,
+                         block_symbols=bs)
         try:
-            blob = api.compress(data, cfg, backend="tpu")
-            good = api.decompress(blob, backend="tpu") == data
+            blob = api.compress(payload, cfg, backend="tpu")
+            good = api.decompress(blob, backend="tpu") == payload
         except Exception as e:  # a compile failure is a FAIL row, not a crash
             print(f"{v.name} pb={pb}: {type(e).__name__}: {e}",
                   file=sys.stderr)
             good = False
-        rows.append({"variant": v.name, "prob_bits": pb, "ok": bool(good)})
-        print(f"{v.name:6s} pb={pb:2d} compiled roundtrip "
+        rows.append({"variant": v.name, "prob_bits": pb, "n_lanes": lanes,
+                     "block_symbols": bs, "ok": bool(good)})
+        print(f"{v.name:6s} pb={pb:2d} lanes={lanes:5d} compiled roundtrip "
               f"{'ok' if good else 'FAIL'}", flush=True)
+    cases = shaped
     ok = sum(r["ok"] for r in rows)
     result = {"rows": rows, "ok": ok, "total": len(cases)}
     with open(out_path, "w") as f:

@@ -75,14 +75,24 @@ def pack_alias_dec_tables(freqs, cum_freqs, sb: int):
       adjhi (1,128): slot_adjust >> 8 (8 bits each, 4-per-int32).
     """
     tab = alias_mod.make_alias_tables(freqs, cum_freqs, sb)
-    assert np.all(tab.slot_adjust < (1 << 16))
-    assert np.all(tab.divider < (1 << 16))
     f1 = (np.maximum(tab.slot_freqs, 1) - 1).astype(np.uint32)
-    adj = tab.slot_adjust.astype(np.uint32)
+    # slot_adjust's TRUE value lies in (-2^16, 2^16) (it can be negative
+    # when an alias symbol's earlier slots were assigned in lower buckets;
+    # AliasTables stores it wrapped to u32), but slot - adjust always lands
+    # in [0, 2^sb) -- that is the decoded idx -- so 16-bit wrapped
+    # arithmetic is exact: store adj mod 2^16, decode with
+    # (slot - adj) & 0xFFFF.
+    adj = tab.slot_adjust.astype(np.uint32) & 0xFFFF
     pa = ((adj & 0xFF) << 24) | (f1 << 8) | tab.sym_id
     ah = adj >> 8
     adjhi = ah[0::4] | (ah[1::4] << 8) | (ah[2::4] << 16) | (ah[3::4] << 24)
-    d = tab.divider.astype(np.uint32)
+    # divider stored bucket-RELATIVE (0..tgt_sum inclusive, <= 9 bits; the
+    # absolute value reaches 2^16 when a whole last bucket is one half,
+    # which no 16-bit field holds); the kernel compares the in-bucket slot
+    tgt = 1 << (sb - 8)
+    d = tab.divider.astype(np.int64) - np.arange(256) * tgt
+    assert np.all((0 <= d) & (d <= tgt))
+    d = d.astype(np.uint32)
     div2 = d[0::2] | (d[1::2] << 16)
     return (div2.view(np.int32).reshape(1, 128),
             pa.view(np.int32).reshape(4, 128),
@@ -203,13 +213,18 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
             dw = lanes.row_gather(div, bh, (R, 128))
             aw = lanes.row_gather(adj, bh, (R, 128))
             dv = lanes.srl(dw, (bucket & 1) << 4) & 0xFFFF
-            b2 = 2 * bucket + (slot < dv).astype(jnp.int32)
+            # dividers are bucket-relative (pack_alias_dec_tables):
+            # compare the in-bucket slot
+            sin = slot & ((1 << (sb - 8)) - 1)
+            b2 = 2 * bucket + (sin < dv).astype(jnp.int32)
             e = lanes.table_lookup(pa, b2, 4, (R, 128))
             av = ((lanes.srl(aw, (b2 & 3) << 3) & 0xFF) << 8) \
                 | lanes.srl(e, 24)
             sym = e & 0xFF
             freq = (lanes.srl(e, 8) & 0xFFFF) + 1
-            x = freq * lanes.srl(x, sb) + slot - av
+            # 16-bit wrapped subtract: adj may be a wrapped negative, but
+            # the true slot - adj is in [0, 2^sb) (pack_alias_dec_tables)
+            x = freq * lanes.srl(x, sb) + ((slot - av) & 0xFFFF)
         elif _use_bisect(sb):
             # binary search on cum (16 row-gathers) beats the 4-packed
             # cum2sym sweep (M/512 = 32+ rows) at prob_bits >= 14

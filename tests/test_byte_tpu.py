@@ -175,10 +175,32 @@ def test_alias_dec_table_pack_fields(book1_head):
         e = int(pa[b2])
         ah = (int(adjhi[b2 >> 2]) >> ((b2 & 3) * 8)) & 0xFF
         adj = (ah << 8) | (e >> 24)
-        assert adj == int(tab.slot_adjust[b2])
+        # stored mod 2^16: the true adjust may be a wrapped negative or
+        # exactly 2^16 (pack_alias_dec_tables), and slot - adj is decoded
+        # with 16-bit wrapped arithmetic
+        assert adj == int(tab.slot_adjust[b2]) & 0xFFFF
         assert (e & 0xFF) == int(tab.sym_id[b2])
         if tab.slot_freqs[b2] > 0:
             assert ((e >> 8) & 0xFFFF) + 1 == int(tab.slot_freqs[b2])
     for b in range(256):
         dv = (int(div2[b >> 1]) >> ((b & 1) * 16)) & 0xFFFF
-        assert dv == int(tab.divider[b])
+        assert dv == int(tab.divider[b]) - b * 256  # bucket-relative
+
+
+def test_alias_wrapped_adjust_model():
+    """Uniform-ish models can produce slot_adjust values outside [0, 2^16)
+    (wrapped negatives, or exactly 2^16 on never-selected halves); the
+    16-bit wrapped subtract must still decode exactly.  Regression for the
+    r3 repack (found by the entropy-robustness probe)."""
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 20000, dtype=np.uint8)
+    freqs, cum = stats.build_model(data, 16)
+    tab = alias_mod.make_alias_tables(freqs, cum, 16)
+    assert tab.slot_adjust.max() >= (1 << 16)  # the shape that bit
+    cfg = RansConfig(variant=Variant.ALIAS, prob_bits=16, n_lanes=256,
+                     lanes_per_stream=256, block_symbols=8192)
+    blocks, padded_size = byte_tpu.encode(cfg, data, freqs, cum,
+                                          interpret=True)
+    dec = byte_tpu.decode(cfg, blocks, padded_size, freqs, cum,
+                          interpret=True)
+    assert np.array_equal(dec[:data.size], data)
