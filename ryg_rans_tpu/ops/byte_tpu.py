@@ -196,7 +196,7 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
     WMAX = wmax_rows(R)
     cap_rows = stream4_ref.shape[0] // ilp
     # loop-invariant first-level bisect keys (lanes.bisect_consts)
-    bconsts = lanes.bisect_consts(fc[2:4], (R, 128)) \
+    bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=(sb <= 15)) \
         if (not alias and _use_bisect(sb)) else None
 
     def substep(x, base, spk, k, woff):
@@ -226,13 +226,19 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
             # the true slot - adj is in [0, 2^sb) (pack_alias_dec_tables)
             x = freq * lanes.srl(x, sb) + ((slot - av) & 0xFFFF)
         elif _use_bisect(sb):
-            # binary search on cum (16 row-gathers) beats the 4-packed
-            # cum2sym sweep (M/512 = 32+ rows) at prob_bits >= 14
-            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128),
-                                       consts=bconsts)
-            e = lanes.table_lookup(fc, sym, 2, (R, 128))
-            freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
-            x = freq * lanes.srl(x, sb) + slot - (e & 0xFFFF)
+            # binary search on cum beats the 4-packed cum2sym sweep
+            # (M/512 = 32+ rows) at prob_bits >= 14; at sb <= 15 the
+            # FUSED keys carry (freq, cum) so no fc gather is needed
+            if sb <= 15:
+                sym, freq, cumv = lanes.cum2sym_bisect_fused(
+                    fc[2:4], slot, sb, (R, 128), consts=bconsts)
+            else:
+                sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128),
+                                           consts=bconsts)
+                e = lanes.table_lookup(fc, sym, 2, (R, 128))
+                freq = lanes.srl(e, 16) + 1  # fc packs freq-1
+                cumv = e & 0xFFFF
+            x = freq * lanes.srl(x, sb) + slot - cumv
         else:
             # two-level cum2sym lookup + advance (rans_byte.h:125-149)
             s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,

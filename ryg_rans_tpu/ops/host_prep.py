@@ -23,14 +23,21 @@ def pack_sym4_fc(freqs, cum_freqs, sb: int):
                 reach 2^16 in the degenerate one-symbol model); decoders
                 add the 1 back.  Absent symbols are never produced by the
                 slot lookup, so their freq-1 underflow clamp is harmless.
-      rows 2-3: cum[s+1] at full int32 width -- the bisect's search keys
-                (lanes.cum2sym_bisect).  cum[s+1] reaches M itself, which
-                no 16-bit packed field can hold at prob_bits 16.  Entries
-                are parity-interleaved -- key e at (e & 1, e >> 1) -- so
-                every bisect step's candidate lands in ONE statically
-                known row (strides >= 2 probe odd entries, the final
-                stride-1 step even ones): one gather per step instead of
-                a two-row sweep.
+      rows 2-3: the bisect's search keys (lanes.cum2sym_bisect*).  For
+                prob_bits <= 15 they are FUSED keys
+                (cum[s+1] << sb) | (freq-1): ordering on the high bits is
+                ordering on cum[s+1] (compare against
+                (slot << sb) | (2^sb - 1)), and the last REJECTED probe is
+                exactly entry[sym], which then carries the symbol's freq
+                AND cum (cum[s] = cum[s+1] - freq) -- so the bisect path
+                needs no separate fc gather (lanes.cum2sym_bisect_fused,
+                r3).  At prob_bits 16 the fused form would need 33 bits,
+                so keys stay plain full-width cum[s+1] and kernels fall
+                back to the fc lookup.  Entries are parity-interleaved --
+                key e at (e & 1, e >> 1) -- so every bisect step's
+                candidate lands in ONE statically known row (strides >= 2
+                probe odd entries, the final stride-1 step even ones):
+                one gather per step instead of a two-row sweep.
     """
     c2s = stats_mod.cum2sym(cum_freqs, sb).astype(np.uint32)
     s4 = (c2s[0::4] | (c2s[1::4] << 8) | (c2s[2::4] << 16)
@@ -38,7 +45,10 @@ def pack_sym4_fc(freqs, cum_freqs, sb: int):
     sym4_rows = s4.view(np.int32).reshape(-1, 128)
     f = np.maximum(np.asarray(freqs, np.uint32), 1) - 1
     fc = (f << 16) | np.asarray(cum_freqs[:256], np.uint32)
-    cn = np.asarray(cum_freqs[1:257], np.uint32).reshape(128, 2).T
+    keys = np.asarray(cum_freqs[1:257], np.uint32)
+    if sb <= 15:
+        keys = (keys << sb) | f  # fused keys: 2*sb+1 <= 31 bits
+    cn = keys.reshape(128, 2).T
     fc_rows = np.concatenate(
         [fc, cn.reshape(-1)]).view(np.int32).reshape(4, 128)
     return sym4_rows, fc_rows

@@ -129,10 +129,58 @@ def cum2sym_bisect(cn_rows, slot, shape, consts=None):
     return jnp.where(uge(slot, cv), lo + 1, lo)
 
 
-def bisect_consts(cn_rows, shape):
+def cum2sym_bisect_fused(cn_rows, slot, sb: int, shape, consts=None):
+    """cum2sym_bisect over FUSED keys (cum[s+1] << sb) | (freq-1), valid
+    for prob_bits <= 15 (host_prep.pack_sym4_fc rows 2-3).
+
+    Returns (sym, freq, cum[sym]) with NO separate fc lookup: comparing
+    key <= (slot << sb) | (2^sb - 1) is exactly cum[s+1] <= slot (the low
+    freq bits cannot flip the inequality), and the search's LAST REJECTED
+    probe is entry[sym] -- binary search maintains sym in (lo, last_reject]
+    and ends with last_reject == sym -- which carries freq[sym] (low bits)
+    and cum[sym+1] (high bits), hence cum[sym] = cum[sym+1] - freq[sym].
+    The all-accept path (sym = 255) never probes entry 255, so the reject
+    tracker initializes to that key (loop-invariant, in ``consts``).
+    """
+    row0 = jnp.broadcast_to(cn_rows[0:1], shape)
+    row1 = jnp.broadcast_to(cn_rows[1:2], shape)
+    if consts is None:
+        consts = bisect_consts(cn_rows, shape, fused=True)
+    k127, k63, k191, k31, k95, k159, k223, k255 = consts
+    t = (slot << sb) | ((1 << sb) - 1)
+    eab = k255                               # last rejected probe's key
+    a1 = uge(t, k127)
+    lo = jnp.where(a1, 128, 0)
+    eab = jnp.where(a1, eab, k127)
+    ev = jnp.where(a1, k191, k63)            # entry lo + 63
+    a2 = uge(t, ev)
+    lo = lo + jnp.where(a2, 64, 0)
+    eab = jnp.where(a2, eab, ev)
+    ev = jnp.where(a1, jnp.where(a2, k223, k159),
+                   jnp.where(a2, k95, k31))  # entry lo + 31
+    a3 = uge(t, ev)
+    lo = lo + jnp.where(a3, 32, 0)
+    eab = jnp.where(a3, eab, ev)
+    for step in (16, 8, 4, 2):
+        e = lo + (step - 1)  # odd entry -> row 1
+        cv = jnp.take_along_axis(row1, srl(e, 1), axis=1)
+        acc = uge(t, cv)
+        lo = jnp.where(acc, lo + step, lo)
+        eab = jnp.where(acc, eab, cv)
+    cv = jnp.take_along_axis(row0, srl(lo, 1), axis=1)  # even entry lo
+    acc = uge(t, cv)
+    sym = jnp.where(acc, lo + 1, lo)
+    eab = jnp.where(acc, eab, cv)
+    freq = (eab & ((1 << sb) - 1)) + 1
+    cumv = srl(eab, sb) - freq
+    return sym, freq, cumv
+
+
+def bisect_consts(cn_rows, shape, fused: bool = False):
     """Loop-invariant keys for cum2sym_bisect's first three levels:
     entries (127), (63, 191), (31, 95, 159, 223) -- all odd, row 1 of the
-    parity-interleaved layout.  Compute ONCE per kernel invocation
+    parity-interleaved layout; the fused variant also needs entry 255
+    (the reject-tracker init).  Compute ONCE per kernel invocation
     (outside the symbol loop) and pass via ``consts=``."""
     row1 = jnp.broadcast_to(cn_rows[1:2], shape)
 
@@ -140,7 +188,8 @@ def bisect_consts(cn_rows, shape):
         col = jnp.full(shape, entry >> 1, jnp.int32)
         return jnp.take_along_axis(row1, col, axis=1)
 
-    return (g(127), g(63), g(191), g(31), g(95), g(159), g(223))
+    base = (g(127), g(63), g(191), g(31), g(95), g(159), g(223))
+    return base + (g(255),) if fused else base
 
 
 def lane_prefix_sum_rows(mask_f32, tri, R: int):

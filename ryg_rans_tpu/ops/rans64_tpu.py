@@ -156,7 +156,7 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
     if wide:
         bconsts = lanes.bisect_consts(fc[4:6], (R, 128))
     elif s4rows > 16:
-        bconsts = lanes.bisect_consts(fc[2:4], (R, 128))
+        bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=(sb <= 15))
     else:
         bconsts = None
 
@@ -171,12 +171,17 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
             cumv = lanes.table_lookup(fc[2:4], sym, 2, (R, 128))
         elif s4rows > 16:
             # binary search on cum beats the 4-packed cum2sym sweep
-            # once the slot table exceeds 16 rows (prob_bits >= 14)
-            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128),
-                                       consts=bconsts)
-            e = lanes.table_lookup(fc, sym, 2, (R, 128))
-            freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
-            cumv = e & 0xFFFF
+            # once the slot table exceeds 16 rows (prob_bits >= 14);
+            # FUSED keys at sb <= 15 skip the fc gather (lanes.py)
+            if sb <= 15:
+                sym, freq, cumv = lanes.cum2sym_bisect_fused(
+                    fc[2:4], slot, sb, (R, 128), consts=bconsts)
+            else:
+                sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128),
+                                           consts=bconsts)
+                e = lanes.table_lookup(fc, sym, 2, (R, 128))
+                freq = lanes.srl(e, 16) + 1  # fc packs freq-1
+                cumv = e & 0xFFFF
         else:
             s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
                                     (R, 128))

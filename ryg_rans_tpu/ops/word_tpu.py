@@ -139,23 +139,26 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
     WMAX = wmax_rows(R)       # worst-case pair-rows a step can touch
     cap_rows = stream2_ref.shape[0] // ilp
     # loop-invariant first-level bisect keys (lanes.bisect_consts)
-    bconsts = lanes.bisect_consts(fc[2:4], (R, 128)) if bisect else None
+    bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=True) \
+        if bisect else None
 
     def substep(x, base, spk, k, woff):
         slot = x & M1
         if bisect:
-            # binary search on cum beats the 4-packed cum2sym sweep once
-            # the slot table exceeds 16 rows (prob_bits >= 14)
-            sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128),
-                                       consts=bconsts)
+            # binary search on FUSED (cum[s+1]<<sb)|(freq-1) keys beats
+            # the 4-packed cum2sym sweep once the slot table exceeds 16
+            # rows (prob_bits >= 14); WORD's sb <= 15 always, so the
+            # search itself yields (freq, cum) -- no fc gather (lanes.py)
+            sym, freq, cumv = lanes.cum2sym_bisect_fused(
+                fc[2:4], slot, sb, (R, 128), consts=bconsts)
         else:
             # two-level symbol lookup
             s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
                                     (R, 128))
             sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
-        e = lanes.table_lookup(fc, sym, 2, (R, 128))
-        freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
-        cumv = e & 0xFFFF
+            e = lanes.table_lookup(fc, sym, 2, (R, 128))
+            freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
+            cumv = e & 0xFFFF
         spk = spk | (sym << (8 * k))
         # advance: x = freq*(x>>sb) + (slot - cum)  (rans_word_sse41.h:126)
         x = freq * lanes.srl(x, sb) + slot - cumv
