@@ -67,15 +67,16 @@ def test_fused_bisect_matches_plain_plus_fc(sb, style):
 
 
 def test_pb16_keys_stay_plain_full_width():
-    """At prob_bits 16 the fused form would need 33 bits: pack_sym4_fc must
-    emit plain cum[s+1] keys (kernels keep the fc lookup there)."""
+    """At prob_bits 16 the fused form would need 33 bits, and the tempting
+    (cum[s+1]-1) << 16 bias UNDERFLOWS for leading absent symbols
+    (cum[s+1] = 0 must accept every slot, but wraps to the never-accepted
+    0xFFFF....) -- so pack_sym4_fc must emit plain cum[s+1] keys and the
+    kernels keep the separate fc lookup there."""
     rng = np.random.default_rng(7)
     freqs, cum = _random_model(rng, 16, "uniformish")
     _, fc_rows = host_prep.pack_sym4_fc(freqs, cum, 16)
-    keys = fc_rows[2:4].view(np.uint32).T.reshape(-1)  # undo parity rows
     # row layout: key e at (e & 1, e >> 1) -> reconstruct order
     cn = np.empty(256, np.uint32)
     cn[0::2] = fc_rows[2].view(np.uint32)
     cn[1::2] = fc_rows[3].view(np.uint32)
     assert np.array_equal(cn, cum[1:257])
-    del keys
