@@ -125,7 +125,18 @@ def main():
 
     from ryg_rans_tpu.models import stats
 
-    on_tpu = jax.default_backend() != "cpu"
+    # The remote-TPU tunnel occasionally refuses to initialize
+    # (UNAVAILABLE); retry a few times, then fall back to the native CPU
+    # bench so the run always records a number.
+    on_tpu = False
+    for attempt in range(3):
+        try:
+            on_tpu = jax.default_backend() != "cpu"
+            break
+        except RuntimeError as e:
+            print(f"backend init failed (attempt {attempt + 1}): {e}",
+                  file=sys.stderr)
+            time.sleep(60)
     if not on_tpu:
         # CPU fallback: bench the native host codec instead (still useful
         # signal when no TPU is attached).
