@@ -78,7 +78,8 @@ def _bench_variant(variant_name: str, pb: int, data, models, R: int,
         def fn(x0, st):
             return byte_tpu.decode_blocks(tabs, x0, st, T4=T4, R=R, sb=pb,
                                           cap_rows=cap, n_blocks=NB,
-                                          alias=True, ilp=2)
+                                          alias=variant == Variant.ALIAS,
+                                          ilp=2)
 
     # correctness gate: full byte-exact round-trip before any timing
     out = fn(x0, st)
