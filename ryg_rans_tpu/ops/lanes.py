@@ -142,12 +142,39 @@ def cum2sym_bisect_fused(cn_rows, slot, sb: int, shape, consts=None):
     The all-accept path (sym = 255) never probes entry 255, so the reject
     tracker initializes to that key (loop-invariant, in ``consts``).
     """
+    sym, eab = _bisect_core(cn_rows, (slot << sb) | ((1 << sb) - 1),
+                            shape, consts)
+    freq = (eab & ((1 << sb) - 1)) + 1
+    cumv = srl(eab, sb) - freq
+    return sym, freq, cumv
+
+
+def cum2sym_bisect_track(cn_rows, slot, shape, consts=None):
+    """cum2sym_bisect over plain full-width cum[s+1] keys that ALSO returns
+    cum[sym+1] from the search's last rejected probe (see
+    cum2sym_bisect_fused -- same invariant, unpacked keys).
+
+    For tables whose freq/cum fields exceed any packed 16-bit split
+    (RANS64 prob_bits 16..31, host_prep.pack_wide_fc rows 4-5): the
+    decode advance needs (freq, cum[sym]); with cum[sym+1] tracked free,
+    one freq gather + ``cum[sym] = cum[sym+1] - freq`` replaces the
+    separate cum table lookup.
+    """
+    return _bisect_core(cn_rows, slot, shape, consts)
+
+
+def _bisect_core(cn_rows, t, shape, consts):
+    """Branchless 8-level rank search: sym = #{s : key[s] <= t} over 256
+    parity-interleaved keys, tracking the last REJECTED probe's key (which
+    is entry[sym]: the search maintains sym in (lo, last_reject] and ends
+    with last_reject == sym).  The all-accept path (sym = 255) never
+    probes entry 255, so the reject tracker initializes to that key
+    (loop-invariant, in ``consts``).  Returns (sym, entry[sym])."""
     row0 = jnp.broadcast_to(cn_rows[0:1], shape)
     row1 = jnp.broadcast_to(cn_rows[1:2], shape)
     if consts is None:
         consts = bisect_consts(cn_rows, shape, fused=True)
     k127, k63, k191, k31, k95, k159, k223, k255 = consts
-    t = (slot << sb) | ((1 << sb) - 1)
     eab = k255                               # last rejected probe's key
     a1 = uge(t, k127)
     lo = jnp.where(a1, 128, 0)
@@ -171,9 +198,7 @@ def cum2sym_bisect_fused(cn_rows, slot, sb: int, shape, consts=None):
     acc = uge(t, cv)
     sym = jnp.where(acc, lo + 1, lo)
     eab = jnp.where(acc, eab, cv)
-    freq = (eab & ((1 << sb) - 1)) + 1
-    cumv = srl(eab, sb) - freq
-    return sym, freq, cumv
+    return sym, eab
 
 
 def bisect_consts(cn_rows, shape, fused: bool = False):

@@ -154,7 +154,7 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
     cap_rows = stream_ref.shape[0] // ilp
     # loop-invariant first-level bisect keys (lanes.bisect_consts)
     if wide:
-        bconsts = lanes.bisect_consts(fc[4:6], (R, 128))
+        bconsts = lanes.bisect_consts(fc[4:6], (R, 128), fused=True)
     elif s4rows > 16:
         bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=(sb <= 15))
     else:
@@ -164,11 +164,13 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
         slot = lo & M1
         if wide:
             # full-width (6,128) tables (host_prep.pack_wide_fc): bisect
-            # keys rows 4-5, freq-1 rows 0-1, cum rows 2-3
-            sym = lanes.cum2sym_bisect(fc[4:6], slot, (R, 128),
-                                       consts=bconsts)
+            # keys rows 4-5, freq-1 rows 0-1; the search tracks
+            # cum[sym+1] for free, so cum[sym] = cum[sym+1] - freq
+            # replaces the separate cum-row lookup (lanes.py, r3)
+            sym, cn = lanes.cum2sym_bisect_track(fc[4:6], slot, (R, 128),
+                                                 consts=bconsts)
             freq = lanes.table_lookup(fc[0:2], sym, 2, (R, 128)) + 1
-            cumv = lanes.table_lookup(fc[2:4], sym, 2, (R, 128))
+            cumv = cn - freq
         elif s4rows > 16:
             # binary search on cum beats the 4-packed cum2sym sweep
             # once the slot table exceeds 16 rows (prob_bits >= 14);

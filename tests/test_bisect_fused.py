@@ -66,6 +66,52 @@ def test_fused_bisect_matches_plain_plus_fc(sb, style):
     assert np.array_equal(np.asarray(cum_f).ravel(), cum_t)
 
 
+@pytest.mark.parametrize("sb", [20, 31])
+@pytest.mark.parametrize("style", ["sparse", "dominant"])
+def test_track_bisect_wide_tables(sb, style):
+    """cum2sym_bisect_track over full-width keys (RANS64 wide path): the
+    last rejected probe must equal cum[sym+1] for every sampled slot --
+    including the all-accept path (entry-255 init) and absent-symbol runs.
+    Slots are sampled (2^sb is too many to enumerate): all cum boundaries
+    +-1 plus random fill."""
+    import jax.numpy as jnp
+
+    from ryg_rans_tpu.ops.host_prep import pack_wide_fc
+
+    rng = np.random.default_rng(sb + (0 if style == "sparse" else 99))
+    M = 1 << sb
+    if style == "sparse":
+        w = np.zeros(256)
+        present = rng.choice(256, size=rng.integers(2, 17), replace=False)
+        w[present] = rng.random(present.size) + 1e-3
+    else:
+        w = rng.random(256) * 1e-6
+        w[rng.integers(0, 256)] = 1.0
+    counts = np.maximum((w / w.sum() * (1 << 22)).astype(np.uint64), 0)
+    freqs, cum = stats.normalize_freqs(counts, M)
+    freqs = np.asarray(freqs, np.uint64)
+    cum = np.asarray(cum, np.uint64)
+    fc = jnp.asarray(pack_wide_fc(freqs, cum))
+
+    edges = np.unique(np.clip(np.concatenate(
+        [cum[1:257] - 1, cum[1:257], cum[1:257] + 1,
+         rng.integers(0, M, 2000).astype(np.uint64)]), 0, M - 1))
+    n = 128 * 128
+    slots = np.zeros(n, np.uint64)
+    slots[:edges.size] = edges[:n]
+    slots[edges.size:] = rng.integers(0, M, max(0, n - edges.size))
+    shape = (128, 128)
+    slot = jnp.asarray(slots.astype(np.int64).astype(np.int32)).reshape(
+        shape)
+
+    sym, cn = lanes.cum2sym_bisect_track(fc[4:6], slot, shape)
+
+    sym_t = np.searchsorted(cum[1:257], slots, side="right")
+    assert np.array_equal(np.asarray(sym).ravel(), sym_t)
+    cn_t = cum[1:257][sym_t].astype(np.int64).astype(np.uint32)
+    assert np.array_equal(np.asarray(cn).ravel().view(np.uint32), cn_t)
+
+
 def test_pb16_keys_stay_plain_full_width():
     """At prob_bits 16 the fused form would need 33 bits, and the tempting
     (cum[s+1]-1) << 16 bias UNDERFLOWS for leading absent symbols
