@@ -32,16 +32,17 @@ import time
 
 
 def _bench_variant(variant_name: str, pb: int, data, models, R: int,
-                   NB: int, BS: int):
+                   NB: int, BS: int, slot_direct: bool = False):
     """models: {prob_bits: (freqs, cum)}; returns (GB/s, container_bytes)
-    with GB/s 0.0 on round-trip mismatch."""
+    with GB/s 0.0 on round-trip mismatch.  slot_direct A/Bs the WORD
+    one-level per-slot table (host_prep.pack_slot_direct, pb <= 12)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ryg_rans_tpu import api
     from ryg_rans_tpu.config import RansConfig, Variant
-    from ryg_rans_tpu.ops import byte_tpu, word_tpu
+    from ryg_rans_tpu.ops import byte_tpu, host_prep, word_tpu
 
     N = R * 128
     SYMS = NB * BS
@@ -55,6 +56,8 @@ def _bench_variant(variant_name: str, pb: int, data, models, R: int,
 
     if variant == Variant.WORD:
         s4, fc = word_tpu.pack_dec_rows2(models[pb][0], models[pb][1], pb)
+        if slot_direct:
+            s4 = host_prep.pack_slot_direct(models[pb][0], models[pb][1], pb)
         tabs = (jnp.asarray(s4), jnp.asarray(fc))
         blocks, _ = word_tpu.encode(cfg, data, *models[pb], interpret=False)
         cap = word_tpu.decode_cap_rows(max(b.size for b in blocks), R)
@@ -65,7 +68,8 @@ def _bench_variant(variant_name: str, pb: int, data, models, R: int,
 
         def fn(x0, st):
             return word_tpu.decode_blocks(*tabs, x0, st, T4=T4, R=R, sb=pb,
-                                          cap_rows=cap, n_blocks=NB, ilp=2)
+                                          cap_rows=cap, n_blocks=NB, ilp=2,
+                                          slot_direct=slot_direct)
     else:
         tabs = byte_tpu.dec_tables(cfg, *models[pb])
         blocks, _ = byte_tpu.encode(cfg, data, *models[pb], interpret=False)

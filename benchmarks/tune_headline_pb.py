@@ -29,23 +29,25 @@ def main():
     SYMS = NB * BS
     data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
 
-    cands = [("WORD", 11), ("WORD", 12), ("WORD", 14), ("WORD", 15),
-             ("BYTE", 14), ("ALIAS", 16)]
+    cands = [("WORD", 11, False), ("WORD", 11, True), ("WORD", 12, True),
+             ("WORD", 12, False), ("WORD", 14, False), ("WORD", 15, False),
+             ("BYTE", 14, False), ("ALIAS", 16, False)]
     models = {pb: stats.build_model(data, pb)
-              for pb in sorted({pb for _, pb in cands})}
+              for pb in sorted({pb for _, pb, _ in cands})}
 
     rows = []
-    for name, pb in cands:
+    for name, pb, sd in cands:
         try:
             gbs, nbytes = bench._bench_variant(name, pb, data, models, R,
-                                               NB, BS)
+                                               NB, BS, slot_direct=sd)
         except Exception as e:  # noqa: BLE001 - per-candidate guard
-            print(f"{name} pb={pb}: {type(e).__name__}: {e}", flush=True)
+            print(f"{name} pb={pb} sd={sd}: {type(e).__name__}: {e}",
+                  flush=True)
             continue
         bpb = 8.0 * nbytes / SYMS
-        print(f"{name:6s} pb={pb:2d} decode {gbs:6.3f} GB/s  "
-              f"{bpb:.4f} bits/byte", flush=True)
-        rows.append({"variant": name, "prob_bits": pb,
+        print(f"{name:6s} pb={pb:2d}{' sd' if sd else '   '} decode "
+              f"{gbs:6.3f} GB/s  {bpb:.4f} bits/byte", flush=True)
+        rows.append({"variant": name, "prob_bits": pb, "slot_direct": sd,
                      "decode_gbs": round(gbs, 3),
                      "bits_per_byte": round(bpb, 4)})
 

@@ -54,6 +54,30 @@ def pack_sym4_fc(freqs, cum_freqs, sb: int):
     return sym4_rows, fc_rows
 
 
+def pack_slot_direct(freqs, cum_freqs, sb: int) -> np.ndarray:
+    """One-level slot-direct decode table for prob_bits <= 12: entry[slot]
+    packs sym:8 | freq-1:sb | (slot - cum[sym]):sb -- 8 + 2*sb <= 32 bits
+    -- as (M/128, 128) int32.
+
+    The decode advance needs (sym, freq, slot - cum); indexing by slot
+    makes every field available in ONE table_lookup whose row gathers are
+    all INDEPENDENT, trading the two-level sym4 path's dependent fc gather
+    (slot -> sym -> (freq,cum)) for a wider fully-pipelined sweep -- the
+    same dependent-vs-independent gather trade measured in docs/DESIGN.md
+    (pb12 sweep vs bisect).  slot - cum[sym] is in [0, freq), so it
+    substitutes directly into x = freq * (x >> sb) + off
+    (rans_word_sse41.h:126) with no cum subtraction in-loop.
+    """
+    if not sb <= 12:
+        raise ValueError("slot-direct table needs prob_bits <= 12")
+    c2s = stats_mod.cum2sym(cum_freqs, sb).astype(np.uint32)
+    f1 = (np.asarray(freqs, np.uint32)[c2s] - 1) & ((1 << sb) - 1)
+    off = np.arange(1 << sb, dtype=np.uint32) - np.asarray(
+        cum_freqs, np.uint32)[c2s]
+    e = c2s | (f1 << 8) | (off << (8 + sb))
+    return e.view(np.int32).reshape(-1, 128)
+
+
 def pack_wide_fc(freqs, cum_freqs) -> np.ndarray:
     """Full-width decode symbol table for prob_bits > 16 (RANS64): (6,128)
     int32 with rows 0-1 = freq-1, rows 2-3 = cum, rows 4-5 = cum[s+1] (the

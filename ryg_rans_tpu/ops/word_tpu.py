@@ -113,7 +113,8 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
-                   ilp: int = 1, use_bisect: bool | None = None):
+                   ilp: int = 1, use_bisect: bool | None = None,
+                   slot_direct: bool = False):
     """Decode one block: 4*T4 steps over (R,128) lanes.
 
     Gather-count-optimized (see docs/DESIGN.md):
@@ -124,8 +125,9 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
     * the stream window is fetched with the monotone two-candidate MXU
       gather (lanes.window_fetch_mono), O(1) in window span.
     """
-    s4rows = (1 << sb) // 512
-    bisect = use_bisect if use_bisect is not None else s4rows > 16
+    s4rows = (1 << sb) // 128 if slot_direct else (1 << sb) // 512
+    bisect = (not slot_direct) and (
+        use_bisect if use_bisect is not None else s4rows > 16)
     if bisect:  # bisect path needs no cum2sym table in VMEM
         fc_ref, x0_ref, stream2_ref, out_ref = refs
     else:
@@ -151,6 +153,15 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
             # search itself yields (freq, cum) -- no fc gather (lanes.py)
             sym, freq, cumv = lanes.cum2sym_bisect_fused(
                 fc[2:4], slot, sb, (R, 128), consts=bconsts)
+            off = slot - cumv
+        elif slot_direct:
+            # one-level slot-direct table (host_prep.pack_slot_direct,
+            # sb <= 12): sym:8 | freq-1:sb | (slot-cum):sb per slot --
+            # every row gather independent, no dependent fc lookup
+            e = lanes.table_lookup(sym4, slot, s4rows, (R, 128))
+            sym = e & 0xFF
+            freq = (lanes.srl(e, 8) & M1) + 1
+            off = lanes.srl(e, 8 + sb)
         else:
             # two-level symbol lookup
             s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
@@ -158,10 +169,10 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
             sym = lanes.srl(s4, (slot & 3) << 3) & 0xFF
             e = lanes.table_lookup(fc, sym, 2, (R, 128))
             freq = lanes.srl(e, 16) + 1  # fc packs freq-1 (host_prep)
-            cumv = e & 0xFFFF
+            off = slot - (e & 0xFFFF)
         spk = spk | (sym << (8 * k))
         # advance: x = freq*(x>>sb) + (slot - cum)  (rans_word_sse41.h:126)
-        x = freq * lanes.srl(x, sb) + slot - cumv
+        x = freq * lanes.srl(x, sb) + off
         # renorm (<=1 word, rans_word_sse41.h:31-34): monotone
         # two-candidate window fetch via MXU one-hots -- a row of 128
         # lanes consumes <=128 words < 256 words/window-row, so rel
@@ -206,11 +217,13 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "interpret",
-                                             "groups", "ilp", "use_bisect"))
+                                             "groups", "ilp", "use_bisect",
+                                             "slot_direct"))
 def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
                   sb: int, cap_rows: int, n_blocks: int,
                   interpret: bool = False, groups: int = 1,
-                  ilp: int = 1, use_bisect: bool | None = None):
+                  ilp: int = 1, use_bisect: bool | None = None,
+                  slot_direct: bool = False):
     """Grid decode of ``n_blocks`` blocks.
 
     x0: (n_blocks*R, 128); stream2_rows: (n_blocks*cap_rows, 128) with renorm
@@ -224,15 +237,17 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
         raise ValueError(f"T4={T4} not divisible by groups={groups}")
     if n_blocks % ilp:
         raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
-    s4rows = (1 << sb) // 512
-    bisect = use_bisect if use_bisect is not None else s4rows > 16
+    s4rows = (1 << sb) // 128 if slot_direct else (1 << sb) // 512
+    bisect = (not slot_direct) and (
+        use_bisect if use_bisect is not None else s4rows > 16)
     tab_specs = [] if bisect else [
         pl.BlockSpec((s4rows, 128), lambda b: (0, 0),
                      memory_space=pltpu.VMEM)]
     tab_args = [] if bisect else [sym4_rows]
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, groups=groups,
-                          ilp=ilp, use_bisect=use_bisect),
+                          ilp=ilp, use_bisect=use_bisect,
+                          slot_direct=slot_direct),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [

@@ -120,3 +120,34 @@ def test_word_high_precision_roundtrip(book1_head, pb):
     dec = word_tpu.decode(cfg, blocks, padded_size, freqs, cum,
                           interpret=True)
     assert np.array_equal(dec[:data.size], data)
+
+
+@pytest.mark.parametrize("pb", [11, 12])
+def test_word_slot_direct_roundtrip(book1_head, pb):
+    """A/B slot-direct decode (host_prep.pack_slot_direct): one-level
+    sym|freq-1|off per-slot table, must reproduce the two-level path."""
+    import jax.numpy as jnp
+
+    from ryg_rans_tpu.ops import host_prep
+
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=pb, n_lanes=128,
+                     lanes_per_stream=128, block_symbols=4096)
+    data = book1_head[:8192]
+    freqs, cum = stats.build_model(data, pb)
+    blocks, padded_size = word_tpu.encode(cfg, data, freqs, cum,
+                                          interpret=True)
+    R, N = 1, 128
+    T4 = 4096 // N // 4
+    sd = jnp.asarray(host_prep.pack_slot_direct(freqs, cum, pb))
+    _, fc = word_tpu.pack_dec_rows2(freqs, cum, pb)
+    max_words = max(b.size for b in blocks)
+    cap = word_tpu.decode_cap_rows(max_words, R)
+    buf = np.zeros((2, max_words), np.int32)
+    for i, b in enumerate(blocks):
+        buf[i, :b.size] = b.astype(np.int32)
+    x0, st = word_tpu.prep_decode(jnp.asarray(buf), R, cap, 2)
+    spk = word_tpu.decode_blocks(sd, jnp.asarray(fc), x0, st, T4=T4, R=R,
+                                 sb=pb, cap_rows=cap, n_blocks=2,
+                                 interpret=True, slot_direct=True)
+    dec = np.asarray(word_tpu.unpack_symbols(spk, T4, R, 2))
+    assert np.array_equal(dec, data)
