@@ -32,7 +32,8 @@ import time
 
 
 def _bench_variant(variant_name: str, pb: int, data, models, R: int,
-                   NB: int, BS: int, slot_direct: bool = False):
+                   NB: int, BS: int, slot_direct: bool = False,
+                   ilp: int = 2):
     """models: {prob_bits: (freqs, cum)}; returns (GB/s, container_bytes)
     with GB/s 0.0 on round-trip mismatch.  slot_direct A/Bs the WORD
     one-level per-slot table (host_prep.pack_slot_direct, pb <= 12)."""
@@ -68,7 +69,8 @@ def _bench_variant(variant_name: str, pb: int, data, models, R: int,
 
         def fn(x0, st):
             return word_tpu.decode_blocks(*tabs, x0, st, T4=T4, R=R, sb=pb,
-                                          cap_rows=cap, n_blocks=NB, ilp=2,
+                                          cap_rows=cap, n_blocks=NB,
+                                          ilp=ilp,
                                           slot_direct=slot_direct)
     else:
         tabs = byte_tpu.dec_tables(cfg, *models[pb])
@@ -83,7 +85,7 @@ def _bench_variant(variant_name: str, pb: int, data, models, R: int,
             return byte_tpu.decode_blocks(tabs, x0, st, T4=T4, R=R, sb=pb,
                                           cap_rows=cap, n_blocks=NB,
                                           alias=variant == Variant.ALIAS,
-                                          ilp=2)
+                                          ilp=ilp)
 
     # correctness gate: full byte-exact round-trip before any timing
     out = fn(x0, st)

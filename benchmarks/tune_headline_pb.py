@@ -29,26 +29,30 @@ def main():
     SYMS = NB * BS
     data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
 
-    cands = [("WORD", 11, False), ("WORD", 11, True), ("WORD", 12, True),
-             ("WORD", 12, False), ("WORD", 14, False), ("WORD", 15, False),
-             ("BYTE", 14, False), ("ALIAS", 16, False)]
+    # (variant, prob_bits, slot_direct, ilp)
+    cands = [("WORD", 11, False, 2), ("WORD", 11, True, 2),
+             ("WORD", 12, True, 2), ("WORD", 12, False, 2),
+             ("WORD", 14, False, 2), ("WORD", 15, False, 2),
+             ("BYTE", 14, False, 2), ("ALIAS", 16, False, 2),
+             ("ALIAS", 16, False, 4)]
     models = {pb: stats.build_model(data, pb)
-              for pb in sorted({pb for _, pb, _ in cands})}
+              for pb in sorted({pb for _, pb, _, _ in cands})}
 
     rows = []
-    for name, pb, sd in cands:
+    for name, pb, sd, ilp in cands:
         try:
             gbs, nbytes = bench._bench_variant(name, pb, data, models, R,
-                                               NB, BS, slot_direct=sd)
+                                               NB, BS, slot_direct=sd,
+                                               ilp=ilp)
         except Exception as e:  # noqa: BLE001 - per-candidate guard
-            print(f"{name} pb={pb} sd={sd}: {type(e).__name__}: {e}",
-                  flush=True)
+            print(f"{name} pb={pb} sd={sd} ilp={ilp}: "
+                  f"{type(e).__name__}: {e}", flush=True)
             continue
         bpb = 8.0 * nbytes / SYMS
-        print(f"{name:6s} pb={pb:2d}{' sd' if sd else '   '} decode "
-              f"{gbs:6.3f} GB/s  {bpb:.4f} bits/byte", flush=True)
+        print(f"{name:6s} pb={pb:2d}{' sd' if sd else '   '} ilp={ilp} "
+              f"decode {gbs:6.3f} GB/s  {bpb:.4f} bits/byte", flush=True)
         rows.append({"variant": name, "prob_bits": pb, "slot_direct": sd,
-                     "decode_gbs": round(gbs, 3),
+                     "ilp": ilp, "decode_gbs": round(gbs, 3),
                      "bits_per_byte": round(bpb, 4)})
 
     if len(sys.argv) > 1:
