@@ -9,105 +9,34 @@ that meets BOTH north-star halves: >=10 GB/s decode AND container within
 ~2% of the reference's 435,117 B on book1 (bits/byte <= ~4.62).
 
 Prints one JSON line per shape: {variant, prob_bits, block_symbols,
-n_blocks, decode_gbs, container_bytes, bits_per_byte}.
+n_blocks, decode_gbs, container_bytes, bits_per_byte}.  Timing/setup is
+bench._bench_variant -- the same correctness-gated slope method as the
+headline (one implementation, no drift).
 """
 
-import functools
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_shape(variant_name: str, pb: int, R: int, NB: int, BS: int,
-                book1, lo=4, hi=28):
-    import jax
-    import jax.numpy as jnp
+                book1):
     import numpy as np
 
-    from ryg_rans_tpu import api
-    from ryg_rans_tpu.config import RansConfig, Variant
+    import bench
     from ryg_rans_tpu.models import stats
-    from ryg_rans_tpu.ops import byte_tpu, word_tpu
 
-    N = R * 128
     SYMS = NB * BS
-    T4 = BS // N // 4
-    variant = Variant[variant_name]
-    cfg = RansConfig(variant=variant, prob_bits=pb, n_lanes=N,
-                     block_symbols=BS)
-
     data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]
-    model = stats.build_model(data, pb)
-
-    # container size through the real front door (also exercises encode
-    # compilation at this shape)
-    blob = api.compress(data, cfg, backend="tpu")
-    nbytes = len(blob)
-    bpb = 8.0 * nbytes / SYMS
-
-    if variant == Variant.WORD:
-        s4, fc = word_tpu.pack_dec_rows2(*model, pb)
-        tabs = (jnp.asarray(s4), jnp.asarray(fc))
-        blocks, _ = word_tpu.encode(cfg, data, *model, interpret=False)
-        cap = word_tpu.decode_cap_rows(max(b.size for b in blocks), R)
-        buf = np.zeros((NB, max(b.size for b in blocks)), np.int32)
-        for i, b in enumerate(blocks):
-            buf[i, :b.size] = b.astype(np.int32)
-        x0, st = word_tpu.prep_decode(jnp.asarray(buf), R, cap, NB)
-
-        def fn(x0, st):
-            return word_tpu.decode_blocks(*tabs, x0, st, T4=T4, R=R, sb=pb,
-                                          cap_rows=cap, n_blocks=NB, ilp=2)
-    else:
-        tabs = byte_tpu.dec_tables(cfg, *model)
-        blocks, _ = byte_tpu.encode(cfg, data, *model, interpret=False)
-        cap = byte_tpu.decode_cap_rows(max(b.size for b in blocks), R)
-        buf = np.zeros((NB, max(b.size for b in blocks)), np.int32)
-        for i, b in enumerate(blocks):
-            buf[i, :b.size] = b.astype(np.int32)
-        x0, st = byte_tpu.prep_decode(jnp.asarray(buf), R, cap, NB)
-
-        def fn(x0, st):
-            return byte_tpu.decode_blocks(tabs, x0, st, T4=T4, R=R, sb=pb,
-                                          cap_rows=cap, n_blocks=NB,
-                                          alias=variant == Variant.ALIAS,
-                                          ilp=2)
-
-    out = fn(x0, st)
-    dec = np.asarray(word_tpu.unpack_symbols(out, T4, R, NB))
-    if not np.array_equal(dec, data):
-        print(f"ERROR: {variant_name} BS={BS} round-trip mismatch",
-              file=sys.stderr)
-        return dict(variant=variant_name, prob_bits=pb, block_symbols=BS,
-                    n_blocks=NB, decode_gbs=0.0, container_bytes=nbytes,
-                    bits_per_byte=round(bpb, 4))
-
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def dec_many(x0, st, reps: int):
-        def one(c, i):
-            x0k = jnp.where(c == jnp.int32(123456789), x0 ^ 1, x0)
-            return c ^ fn(x0k, st)[0, 0], None
-        c, _ = jax.lax.scan(one, jnp.int32(0), jnp.arange(reps))
-        return c
-
-    def run(reps):
-        r = dec_many(x0, st, reps)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        r = dec_many(x0, st, reps)
-        jax.block_until_ready(r)
-        return time.perf_counter() - t0
-
-    run(lo), run(hi)
-    a = min(run(lo) for _ in range(5))
-    b = min(run(hi) for _ in range(5))
-    gbs = SYMS / ((b - a) / (hi - lo)) / 1e9
+    models = {pb: stats.build_model(data, pb)}
+    gbs, nbytes = bench._bench_variant(variant_name, pb, data, models, R,
+                                       NB, BS)
     return dict(variant=variant_name, prob_bits=pb, block_symbols=BS,
                 n_blocks=NB, decode_gbs=round(gbs, 3),
-                container_bytes=nbytes, bits_per_byte=round(bpb, 4))
+                container_bytes=nbytes,
+                bits_per_byte=round(8.0 * nbytes / SYMS, 4))
 
 
 def main():

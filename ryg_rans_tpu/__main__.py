@@ -31,12 +31,14 @@ _VARIANTS = {v.name.lower(): v for v in Variant}
 def _cfg_from_args(args, n_bytes: int = 0) -> RansConfig:
     variant = _VARIANTS[args.variant]
     if args.lanes == 0:
-        # size-adaptive shape, like api.compress with no config
+        # size-adaptive shape, like api.compress with no config; an
+        # explicit --lanes-per-stream must keep its substream layout
         auto = RansConfig.auto(n_bytes, variant)
         return RansConfig(
             variant=variant,
             prob_bits=args.prob_bits or auto.prob_bits,
             n_lanes=auto.n_lanes,
+            lanes_per_stream=args.lanes_per_stream or auto.n_lanes,
             block_symbols=args.block_symbols or auto.block_symbols,
             checksum=not args.no_crc,
         )

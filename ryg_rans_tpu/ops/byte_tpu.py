@@ -340,7 +340,7 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
 # ---------------------------------------------------------------------------
 
 def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
-                   ilp: int = 1, hoist32: bool = True):
+                   ilp: int = 1, hoist_extra: int = 1):
     """Reverse-walk encode emitting one (k<<16 | fwd0<<8 | fwd1) cell per
     (step, lane); <=2 renorm bytes per symbol (rans_byte.h:62-74)."""
     if alias:
@@ -367,13 +367,14 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         # level-1 compare key with the & 0xFFFF pre-applied (the deeper
         # levels' keys come out of selects, where an AND costs the same)
         s256k = s256 & 0xFFFF
-        # hoist32: the stride-32 candidates are 8 more constants; a
-        # 7-select tree in the loop replaces that level's gather (r3 A/B)
-        if hoist32:
+        # hoist_extra >= 1: the stride-32 candidates are 8 more
+        # constants; a 7-select tree in the loop replaces that level's
+        # gather (r3 A/B; 1 is the measured default)
+        if hoist_extra >= 1:
             s32c = [_g0(32 + 64 * i) for i in range(8)]
-        # hoist16: one level further (16 constants, 15-select tree); A/B
-        # hook -- vreg pressure vs one more dependent gather
-        if hoist32 == 16:
+        # hoist_extra >= 2: one level further (16 constants, 15-select
+        # tree); A/B hook -- vreg pressure vs one more dependent gather
+        if hoist_extra >= 2:
             s16c = [_g0(16 + 32 * i) for i in range(16)]
     else:
         fc_ref, in_ref, emit_ref, xout_ref = refs
@@ -423,7 +424,7 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
             a3 = (ev & 0xFFFF) <= idx
             lo = lo + jnp.where(a3, 64, 0)
             ebest = jnp.where(a3, ev, ebest)
-            if hoist32:
+            if hoist_extra >= 1:
                 # entry lo + 32 from the 8 hoisted constants: a select
                 # tree (7 wheres) instead of a dependent lane-gather
                 t = [jnp.where(a3, s32c[2 * i + 1], s32c[2 * i])
@@ -434,7 +435,7 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
                 a4 = (ev & 0xFFFF) <= idx
                 lo = lo + jnp.where(a4, 32, 0)
                 ebest = jnp.where(a4, ev, ebest)
-            if hoist32 == 16:
+            if hoist_extra >= 2:
                 t = [jnp.where(a4, s16c[2 * i + 1], s16c[2 * i])
                      for i in range(8)]
                 t = [jnp.where(a3, t[2 * i + 1], t[2 * i]) for i in range(4)]
@@ -444,8 +445,8 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
                 a5 = (ev & 0xFFFF) <= idx
                 lo = lo + jnp.where(a5, 16, 0)
                 ebest = jnp.where(a5, ev, ebest)
-            steps = {False: (32, 16, 8, 4, 2), True: (16, 8, 4, 2),
-                     16: (8, 4, 2)}[hoist32]
+            steps = {0: (32, 16, 8, 4, 2), 1: (16, 8, 4, 2),
+                     2: (8, 4, 2)}[hoist_extra]
             for step in steps:
                 row = sp_row[0] if step >= 4 else sp_row[2]
                 cand = lo + step
@@ -487,10 +488,10 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "n_blocks",
                                              "alias", "interpret", "ilp",
-                                             "hoist32"))
+                                             "hoist_extra"))
 def encode_blocks(tables, syms_packed, *, T4: int, R: int, sb: int,
                   n_blocks: int, alias: bool, interpret: bool = False,
-                  ilp: int = 1, hoist32: bool = True):
+                  ilp: int = 1, hoist_extra: int = 1):
     """Grid dense encode.  tables: (fc,) or (fc, seg_packed).
     Returns (emit cells (n_blocks*4*T4*R,128) i32, states (n_blocks*R,128))."""
     if not interpret and R < 2:
@@ -503,7 +504,7 @@ def encode_blocks(tables, syms_packed, *, T4: int, R: int, sb: int,
     ]
     return pl.pallas_call(
         functools.partial(_encode_kernel, T4=T4, R=R, sb=sb, alias=alias,
-                          ilp=ilp, hoist32=hoist32),
+                          ilp=ilp, hoist_extra=hoist_extra),
         grid=(n_blocks // ilp,),
         out_shape=(
             jax.ShapeDtypeStruct((n_blocks * 4 * T4 * R, 128), jnp.int32),

@@ -92,6 +92,16 @@ def freqs_v2_size(prob_bits: int) -> int:
     return (256 * prob_bits + 7) // 8 + 1
 
 
+def _read_exact(f, n: int) -> bytes:
+    """f.read(n) that raises the typed truncation error on short reads
+    (a short read would otherwise be misparsed downstream, e.g. the v2
+    freqs trailer byte)."""
+    buf = f.read(n)
+    if len(buf) < n:
+        raise ValueError("container truncated")
+    return buf
+
+
 def _unpack_freqs_v2(buf: bytes, prob_bits: int) -> np.ndarray:
     if buf[-1]:  # degenerate single-symbol model
         out = np.zeros(256, np.uint32)
@@ -239,9 +249,7 @@ def pack(cfg: RansConfig, orig_len: int, freqs: np.ndarray,
 def read_header(f) -> tuple["Container", int]:
     """Parse header/freqs/counts/CRCs from a file object positioned at 0;
     returns (Container with empty payloads, payload byte offset)."""
-    head = f.read(_HEADER.size)
-    if len(head) < _HEADER.size:
-        raise ValueError("container truncated")
+    head = _read_exact(f, _HEADER.size)
     (magic, version, variant, prob_bits, log_lanes, log_lpg, flags, _rsv,
      n_blocks, orig_len, block_symbols, _rsv2) = _HEADER.unpack(head)
     if magic != MAGIC:
@@ -255,25 +263,26 @@ def read_header(f) -> tuple["Container", int]:
     ns = cfg.n_streams
     off = _HEADER.size
     if version == V1:
-        freqs = np.frombuffer(f.read(4 * NSYMS), np.uint32).copy()
-        counts = np.frombuffer(f.read(4 * n_blocks * ns),
+        freqs = np.frombuffer(_read_exact(f, 4 * NSYMS), np.uint32).copy()
+        counts = np.frombuffer(_read_exact(f, 4 * n_blocks * ns),
                                np.uint32).reshape(n_blocks, ns).copy()
         off += 4 * NSYMS + 4 * n_blocks * ns
     else:
         fb = freqs_v2_size(prob_bits)
-        freqs = _unpack_freqs_v2(f.read(fb), prob_bits)
+        freqs = _unpack_freqs_v2(_read_exact(f, fb), prob_bits)
         pos0 = f.tell()
         counts = _read_varints_file(f, n_blocks * ns).reshape(n_blocks, ns)
         off += fb + (f.tell() - pos0)
     crcs = None
     if flags & FLAG_CRC:
-        crcs = np.frombuffer(f.read(4 * n_blocks), np.uint32).copy()
+        crcs = np.frombuffer(_read_exact(f, 4 * n_blocks),
+                             np.uint32).copy()
         off += 4 * n_blocks
     raw = None
     if flags & FLAG_RAW:
         nb_bytes = (n_blocks + 7) // 8
         raw = np.unpackbits(
-            np.frombuffer(f.read(nb_bytes), np.uint8),
+            np.frombuffer(_read_exact(f, nb_bytes), np.uint8),
             bitorder="little")[:n_blocks].astype(bool)
         off += nb_bytes
     return Container(cfg=cfg, orig_len=orig_len, freqs=freqs,
@@ -299,6 +308,8 @@ def unpack(blob: bytes | memoryview) -> Container:
     off = _HEADER.size
     ns = cfg.n_streams
     if version == V1:
+        if len(blob) < off + 4 * NSYMS + 4 * n_blocks * ns:
+            raise ValueError("container truncated")
         freqs = np.frombuffer(blob[off:off + 4 * NSYMS], np.uint32).copy()
         off += 4 * NSYMS
         counts = np.frombuffer(

@@ -42,7 +42,9 @@ def _random_model(rng, sb, style):
 def test_fused_bisect_matches_plain_plus_fc(sb, style):
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(sb * 1000 + hash(style) % 1000)
+    # deterministic seed (hash() is salted per process -> irreproducible)
+    styles = ["uniformish", "sparse", "dominant", "zipf"]
+    rng = np.random.default_rng(sb * 1000 + styles.index(style))
     freqs, cum = _random_model(rng, sb, style)
     _, fc_rows = host_prep.pack_sym4_fc(freqs, cum, sb)
     fc = jnp.asarray(fc_rows)

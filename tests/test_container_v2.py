@@ -103,3 +103,24 @@ def test_truncated_v2_counts_rejected(book1_head):
     cut = 32 + cont.freqs_v2_size(cfg.prob_bits) + 1
     with pytest.raises(ValueError):
         cont.unpack(blob[:cut])
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_truncation_anywhere_is_typed_error(book1_head, version):
+    """Cutting the container at EVERY prefix inside the metadata area must
+    raise a ValueError -- never a silent misparse (e.g. a short v2 freqs
+    read whose last byte fakes the degenerate-model trailer) or a numpy
+    shape error."""
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=512,
+                     block_symbols=1 << 14)
+    freqs, payloads = _payloads(cfg, book1_head)
+    blob = cont.pack(cfg, book1_head.size, freqs, payloads,
+                     version=version)
+    full = cont.unpack(blob)
+    meta_end = len(blob) - sum(
+        w.size * w.dtype.itemsize for blk in full.payloads for w in blk)
+    for cut in range(0, meta_end, 7):
+        with pytest.raises(ValueError):
+            cont.unpack(blob[:cut])
+        with pytest.raises((ValueError, EOFError)):
+            cont.read_header(io.BytesIO(blob[:cut]))
