@@ -3,11 +3,12 @@
 The monotone window fetch costs the same regardless of renorm density, so
 decode speed should be nearly flat from near-zero-entropy to random bytes
 -- unlike sweep-based designs whose stream routing scales with consumption.
-Run: `python benchmarks/bench_corpora.py [word|alias]` (default word;
-alias = the r3 headline variant with the 6-row tables).
+Run: `python benchmarks/bench_corpora.py [word|alias] [out.json]`
+(default word; alias = the r3 headline variant with the 6-row tables).
 """
 
 import functools
+import json
 import os
 import sys
 import time
@@ -48,6 +49,7 @@ def main():
                      lanes_per_stream=N, block_symbols=BS)
     T4 = BS // N // 4
 
+    rows = []
     for name, data in corpora.items():
         freqs, cum = stats.build_model(data, cfg.prob_bits)
         if alias:
@@ -103,6 +105,17 @@ def main():
         payload = sum(bb.size * wsz for bb in blocks)
         print(f"{name:22s} decode {gbs:6.3f} GB/s  payload {payload / 2**20:6.2f}"
               f" MiB  roundtrip={'ok' if ok else 'FAIL'}", flush=True)
+        rows.append({"corpus": name, "decode_gbs": round(gbs, 3),
+                     "payload_bytes": payload, "roundtrip_ok": bool(ok)})
+
+    if len(sys.argv) > 2:
+        with open(sys.argv[2], "w") as f:
+            json.dump({"variant": cfg.variant.name,
+                       "prob_bits": cfg.prob_bits,
+                       "shape": {"R": R, "n_blocks": NB,
+                                 "block_symbols": BS},
+                       "rows": rows}, f, indent=1)
+        print(f"wrote {sys.argv[2]}", flush=True)
 
 
 if __name__ == "__main__":
