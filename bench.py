@@ -132,18 +132,30 @@ def main():
 
     from ryg_rans_tpu.models import stats
 
-    # The remote-TPU tunnel occasionally refuses to initialize
-    # (UNAVAILABLE); retry a few times, then fall back to the native CPU
-    # bench so the run always records a number.
+    # The remote-TPU tunnel occasionally refuses to initialize (raises
+    # UNAVAILABLE) or HANGS in backend setup; probing in a subprocess
+    # with a timeout covers both.  Retry for up to ~20 min -- the TPU
+    # number is the headline -- then fall back to the native CPU bench so
+    # the run always records a number.
+    import subprocess
+
     on_tpu = False
-    for attempt in range(3):
+    for attempt in range(6):
         try:
-            on_tpu = jax.default_backend() != "cpu"
-            break
-        except RuntimeError as e:
-            print(f"backend init failed (attempt {attempt + 1}): {e}",
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=240)
+            if r.returncode == 0 and "cpu" not in r.stdout:
+                on_tpu = jax.default_backend() != "cpu"  # now safe
+                break
+            msg = (r.stdout + r.stderr).strip().splitlines()
+            print(f"backend probe {attempt + 1}: "
+                  f"{msg[-1] if msg else 'no output'}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"backend probe {attempt + 1}: hang (240s)",
                   file=sys.stderr)
-            time.sleep(60)
+        time.sleep(60)
     if not on_tpu:
         # CPU fallback: bench the native host codec instead (still useful
         # signal when no TPU is attached).
