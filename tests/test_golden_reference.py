@@ -112,3 +112,21 @@ def test_full_book1_bitstream_identical_native(dumper, tmp_path, book1,
     payload, words = native.encode(cfg, book1, freqs, cum)
     assert len(words) == 1
     assert payload.tobytes() == ref
+
+
+@pytest.mark.parametrize("variant,lanes,bound", [
+    # full self-describing TRNS containers (header + packed freqs + counts)
+    # on the reference's own interleave layouts stay under the reference's
+    # HEADERLESS 8-way SIMD payload, 435,626 B (README:110) -- the v2
+    # metadata diet costs ~0.11% over the payload golden parity pins.
+    (Variant.BYTE, 2, 435626),
+    (Variant.RANS64, 2, 435626),
+])
+def test_container_total_beats_reference_simd_payload(book1, variant,
+                                                      lanes, bound):
+    from ryg_rans_tpu import api
+
+    cfg = RansConfig.reference(variant, n_lanes=lanes)
+    blob = api.compress(book1, cfg, backend="native")
+    assert api.decompress(blob, backend="native") == book1.tobytes()
+    assert len(blob) < bound, len(blob)
