@@ -21,6 +21,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int kNSyms = 256;
@@ -222,6 +226,118 @@ void decode_stream(const Layout& L, int stream,
   }
 }
 
+#if defined(__AVX2__)
+// ---------------------------------------------------------------------------
+// AVX2 8-lane decode for the WORD variant (16-bit renorm, 32-bit states).
+//
+// Original vectorization of the interleaved-decode design the reference
+// realizes with SSE 4.1 intrinsics (rans_word_sse41.h:151-227): per-slot
+// symbol gather + fused (freq-1)<<16|cum gather (vpgatherdd), advance in
+// 32-bit lanes, and ORDERED stream consumption -- the k-th renorming lane
+// (lane-ascending) receives the k-th next stream word -- done here with a
+// movemask-indexed permutation LUT + popcount pointer bump instead of the
+// reference's shuffle-LUT byte tables.  Groups of 8 lanes run in lane
+// order within each step, so any lanes_per_stream % 8 == 0 layout keeps
+// the exact scalar/TPU stream contract (docs/FORMAT.md).  Valid for
+// prob_bits <= 15 (cum fits the fc low half; WORD's full range).
+// ---------------------------------------------------------------------------
+
+alignas(32) static int32_t g_perm_lut[256][8];
+
+static bool init_perm_lut() {
+  for (int m = 0; m < 256; m++) {
+    int k = 0;
+    for (int lane = 0; lane < 8; lane++)
+      g_perm_lut[m][lane] = (m >> lane) & 1 ? k++ : 7;
+  }
+  return true;
+}
+static const bool g_perm_ready = init_perm_lut();
+
+void decode_stream_word_avx2(const Layout& L, int stream,
+                             const uint16_t* words, int64_t total_words,
+                             int sb, const int32_t* c2s32,
+                             const int32_t* fc32, uint8_t* out) {
+  const int lpg = L.lpg;
+  const int64_t lane_base = (int64_t)stream * lpg;
+  const uint16_t* ptr = words;
+  const uint16_t* end = words + total_words;
+  std::vector<uint32_t> x(lpg);
+  for (int g = 0; g < lpg; g++) {
+    x[g] = (uint32_t)ptr[0] | ((uint32_t)ptr[1] << 16);
+    ptr += 2;
+  }
+  // steps where every lane of the stream is in range AND the 8-word
+  // renorm load cannot overread; the scalar tail finishes the rest
+  int64_t t_full = 0;
+  if (L.n_symbols >= lane_base + lpg)
+    t_full = (L.n_symbols - lane_base - lpg) / L.n_lanes + 1;
+
+  const __m256i vmask = _mm256_set1_epi32((1 << sb) - 1);
+  const __m256i vzero = _mm256_setzero_si256();
+  const __m256i vlow16 = _mm256_set1_epi32(0xFFFF);
+  int64_t t = 0;
+  // conservative per-step slack: a step consumes <= lpg words and every
+  // renorm load touches 8 words from the current ptr, so ptr + lpg + 8
+  // <= end guarantees no load overreads the payload allocation
+  for (; t < t_full && ptr + lpg + 8 <= end; t++) {
+    const int64_t row = t * L.n_lanes + lane_base;
+    for (int g0 = 0; g0 < lpg; g0 += 8) {
+      __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
+      const __m256i slot = _mm256_and_si256(vx, vmask);
+      const __m256i sym = _mm256_i32gather_epi32(c2s32, slot, 4);
+      const __m256i e = _mm256_i32gather_epi32(fc32, sym, 4);
+      const __m256i freq = _mm256_add_epi32(
+          _mm256_srli_epi32(e, 16), _mm256_set1_epi32(1));
+      const __m256i cum = _mm256_and_si256(e, vlow16);
+      // x = freq * (x >> sb) + slot - cum   (rans_word_sse41.h:126)
+      vx = _mm256_add_epi32(
+          _mm256_mullo_epi32(freq, _mm256_srli_epi32(vx, sb)),
+          _mm256_sub_epi32(slot, cum));
+      // renorm: <=1 word/lane; lane-ascending word order via perm LUT
+      const __m256i need =
+          _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 16), vzero);
+      const int m = _mm256_movemask_ps(_mm256_castsi256_ps(need));
+      if (m) {
+        const __m256i w8 = _mm256_cvtepu16_epi32(
+            _mm_loadu_si128((const __m128i*)ptr));
+        const __m256i w = _mm256_permutevar8x32_epi32(
+            w8, _mm256_load_si256((const __m256i*)g_perm_lut[m]));
+        vx = _mm256_blendv_epi8(
+            vx,
+            _mm256_or_si256(_mm256_slli_epi32(vx, 16),
+                            _mm256_and_si256(w, vlow16)),
+            need);
+        ptr += __builtin_popcount((unsigned)m);
+      }
+      _mm256_storeu_si256((__m256i*)&x[g0], vx);
+      // pack the 8 syms to bytes (out rows are lane-contiguous)
+      alignas(32) int32_t s8[8];
+      _mm256_store_si256((__m256i*)s8, sym);
+      uint8_t* o = out + row + g0;
+      for (int k = 0; k < 8; k++) o[k] = (uint8_t)s8[k];
+    }
+  }
+  // scalar tail: remaining steps + the final window where the 8-word
+  // SIMD load could overread the payload allocation
+  const uint32_t mask = (1u << sb) - 1;
+  for (; t < L.steps; t++) {
+    for (int g = 0; g < lpg; g++) {
+      const int64_t i = t * L.n_lanes + lane_base + g;
+      if (i >= L.n_symbols) continue;
+      uint32_t st = x[g];
+      const uint32_t slot = st & mask;
+      const int sy = c2s32[slot];
+      const uint32_t e = (uint32_t)fc32[sy];
+      st = ((e >> 16) + 1) * (st >> sb) + slot - (e & 0xFFFF);
+      if (st < (1u << 16)) st = (st << 16) | (uint32_t)(*ptr++);
+      x[g] = st;
+      out[i] = (uint8_t)sy;
+    }
+  }
+}
+#endif  // __AVX2__
+
 struct Model {
   uint64_t cum[kNSyms + 1];
   uint32_t freqs[kNSyms];
@@ -345,6 +461,20 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
   AliasTables alias;
   if (variant == 3 && !build_alias(m.freqs, m.cum, sb, &alias)) return -2;
 
+#if defined(__AVX2__)
+  // widened tables for the AVX2 word path's vpgatherdd (32-bit loads)
+  std::vector<int32_t> c2s32, fc32;
+  const bool word_avx2 = variant == 1 && sb <= 15 && L.lpg % 8 == 0 &&
+                         __builtin_cpu_supports("avx2");
+  if (word_avx2) {
+    c2s32.assign(m.c2s.begin(), m.c2s.end());
+    fc32.resize(kNSyms);
+    for (int sy = 0; sy < kNSyms; sy++)
+      fc32[sy] = (int32_t)(((m.freqs[sy] ? m.freqs[sy] - 1 : 0) << 16) |
+                           (uint32_t)m.cum[sy]);
+  }
+#endif
+
   int64_t off = 0;
   for (int s = 0; s < L.n_streams; s++) {
     switch (variant) {
@@ -360,6 +490,15 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
         break;
       }
       case 1: {
+#if defined(__AVX2__)
+        if (word_avx2) {
+          decode_stream_word_avx2(L, s, (const uint16_t*)(payload + off),
+                                  stream_words[s], sb, c2s32.data(),
+                                  fc32.data(), out);
+          off += stream_words[s] * 2;
+          break;
+        }
+#endif
         auto step = [&](uint64_t x, int* sym) {
           const uint64_t slot = x & mask;
           const int sy = m.c2s[slot];
