@@ -336,6 +336,164 @@ void decode_stream_word_avx2(const Layout& L, int stream,
     }
   }
 }
+// ---------------------------------------------------------------------------
+// AVX2 8-lane decode for the BYTE-renorm variants (BYTE and ALIAS).
+//
+// The 8-bit renorm consumes <= 2 bytes per lane per step, LANE-MAJOR:
+// lane g's bytes are adjacent, most-significant first (docs/FORMAT.md,
+// rans_byte.h:62-74 bounded to two rounds).  A while-loop per lane would
+// serialize; instead the byte count is closed-form
+// k = (x < 2^23) + (x < 2^15) (same identity as the Pallas kernel), an
+// in-vector exclusive prefix sum gives each lane's byte offset, and ONE
+// 32-bit gather at (ptr + off) yields both bytes (b0 = low byte, b1 =
+// next) -- ordered consumption without any per-lane loop.
+// ---------------------------------------------------------------------------
+
+static inline __m256i exclusive_prefix_sum_epi32(__m256i v) {
+  // 3-step inclusive scan over 8 lanes (rotate + zero-blend), minus v
+  const __m256i sh1 = _mm256_setr_epi32(7, 0, 1, 2, 3, 4, 5, 6);
+  const __m256i sh2 = _mm256_setr_epi32(6, 7, 0, 1, 2, 3, 4, 5);
+  const __m256i sh4 = _mm256_setr_epi32(4, 5, 6, 7, 0, 1, 2, 3);
+  const __m256i z = _mm256_setzero_si256();
+  __m256i s = v;
+  __m256i t = _mm256_blend_epi32(_mm256_permutevar8x32_epi32(s, sh1), z,
+                                 0x01);
+  s = _mm256_add_epi32(s, t);
+  t = _mm256_blend_epi32(_mm256_permutevar8x32_epi32(s, sh2), z, 0x03);
+  s = _mm256_add_epi32(s, t);
+  t = _mm256_blend_epi32(_mm256_permutevar8x32_epi32(s, sh4), z, 0x0F);
+  s = _mm256_add_epi32(s, t);
+  return _mm256_sub_epi32(s, v);
+}
+
+// SymLookup: (slot, x>>sb) are implicit; functor fills (sym, freq, bias)
+// vectors from the slot -- BYTE uses c2s+fc tables, ALIAS the divider
+// tables.  Returns new x = freq * (x >> sb) + bias.
+template <class SymLookup>
+void decode_stream_byte_avx2(const Layout& L, int stream,
+                             const uint8_t* bytes, int64_t total_bytes,
+                             int sb, const SymLookup& lookup, uint8_t* out) {
+  const int lpg = L.lpg;
+  const int64_t lane_base = (int64_t)stream * lpg;
+  const uint8_t* ptr = bytes;
+  const uint8_t* end = bytes + total_bytes;
+  std::vector<uint32_t> x(lpg);
+  for (int g = 0; g < lpg; g++) {  // flushed state: 4 LE bytes per lane
+    x[g] = (uint32_t)ptr[0] | ((uint32_t)ptr[1] << 8) |
+           ((uint32_t)ptr[2] << 16) | ((uint32_t)ptr[3] << 24);
+    ptr += 4;
+  }
+  int64_t t_full = 0;
+  if (L.n_symbols >= lane_base + lpg)
+    t_full = (L.n_symbols - lane_base - lpg) / L.n_lanes + 1;
+
+  const __m256i vzero = _mm256_setzero_si256();
+  const __m256i v1 = _mm256_set1_epi32(1);
+  int64_t t = 0;
+  // per-step slack: <= 2*lpg bytes consumed, each gather reads 4 bytes
+  for (; t < t_full && ptr + 2 * lpg + 4 <= end; t++) {
+    const int64_t row = t * L.n_lanes + lane_base;
+    for (int g0 = 0; g0 < lpg; g0 += 8) {
+      __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
+      __m256i sym, freq, bias;
+      lookup(vx, &sym, &freq, &bias);
+      vx = _mm256_add_epi32(
+          _mm256_mullo_epi32(freq, _mm256_srli_epi32(vx, sb)), bias);
+      // closed-form byte count: k = (x < 2^23) + (x < 2^15)
+      const __m256i lt23 =
+          _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 23), vzero);
+      const __m256i lt15 =
+          _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 15), vzero);
+      const __m256i k = _mm256_sub_epi32(
+          vzero, _mm256_add_epi32(lt23, lt15));  // cmp masks are -1
+      const __m256i off = exclusive_prefix_sum_epi32(k);
+      // one dword gather per lane: b0 = low byte (msb of the pair)
+      const __m256i quad =
+          _mm256_i32gather_epi32((const int*)ptr, off, 1);
+      const __m256i b0 = _mm256_and_si256(quad, _mm256_set1_epi32(0xFF));
+      const __m256i b1 = _mm256_and_si256(_mm256_srli_epi32(quad, 8),
+                                          _mm256_set1_epi32(0xFF));
+      __m256i x1 = _mm256_blendv_epi8(
+          vx, _mm256_or_si256(_mm256_slli_epi32(vx, 8), b0), lt23);
+      vx = _mm256_blendv_epi8(
+          x1, _mm256_or_si256(_mm256_slli_epi32(x1, 8), b1), lt15);
+      // ptr += sum(k): last lane's off + k
+      alignas(32) int32_t offs[8], ks[8], s8[8];
+      _mm256_store_si256((__m256i*)offs, off);
+      _mm256_store_si256((__m256i*)ks, k);
+      ptr += offs[7] + ks[7];
+      _mm256_storeu_si256((__m256i*)&x[g0], vx);
+      _mm256_store_si256((__m256i*)s8, sym);
+      uint8_t* o = out + row + g0;
+      for (int kk = 0; kk < 8; kk++) o[kk] = (uint8_t)s8[kk];
+    }
+  }
+  // scalar tail (same transition; two bounded renorm rounds)
+  const uint32_t mask = (1u << sb) - 1;
+  for (; t < L.steps; t++) {
+    for (int g = 0; g < lpg; g++) {
+      const int64_t i = t * L.n_lanes + lane_base + g;
+      if (i >= L.n_symbols) continue;
+      uint32_t st = x[g];
+      st = lookup.scalar(st, out + i);
+      while (st < (1u << 23)) st = (st << 8) | (uint32_t)(*ptr++);
+      x[g] = st;
+    }
+  }
+}
+
+struct ByteLookupAvx2 {
+  const int32_t* c2s32;
+  const int32_t* fc32;  // (freq-1)<<16 | cum  (exact to prob_bits 16)
+  int sb;
+  uint32_t mask;
+  void operator()(__m256i vx, __m256i* sym, __m256i* freq,
+                  __m256i* bias) const {
+    const __m256i slot = _mm256_and_si256(vx, _mm256_set1_epi32(mask));
+    *sym = _mm256_i32gather_epi32(c2s32, slot, 4);
+    const __m256i e = _mm256_i32gather_epi32(fc32, *sym, 4);
+    *freq = _mm256_add_epi32(_mm256_srli_epi32(e, 16),
+                             _mm256_set1_epi32(1));
+    *bias = _mm256_sub_epi32(
+        slot, _mm256_and_si256(e, _mm256_set1_epi32(0xFFFF)));
+  }
+  uint32_t scalar(uint32_t st, uint8_t* o) const {
+    const uint32_t slot = st & mask;
+    const int sy = c2s32[slot];
+    const uint32_t e = (uint32_t)fc32[sy];
+    *o = (uint8_t)sy;
+    return ((e >> 16) + 1) * (st >> sb) + slot - (e & 0xFFFF);
+  }
+};
+
+struct AliasLookupAvx2 {
+  const int32_t* div32;   // [256] divider (absolute)
+  const int32_t* sym32;   // [512]
+  const int32_t* freq32;  // [512]
+  const int32_t* adj32;   // [512] slot_adjust (wrapped u32 in int lanes)
+  int sb;
+  uint32_t mask;
+  void operator()(__m256i vx, __m256i* sym, __m256i* freq,
+                  __m256i* bias) const {
+    const __m256i xm = _mm256_and_si256(vx, _mm256_set1_epi32(mask));
+    const __m256i bucket = _mm256_srli_epi32(xm, sb - 8);
+    const __m256i dv = _mm256_i32gather_epi32(div32, bucket, 4);
+    // xm < divider  (both < 2^31: signed compare is exact)
+    const __m256i low = _mm256_cmpgt_epi32(dv, xm);
+    const __m256i b2 = _mm256_sub_epi32(
+        _mm256_slli_epi32(bucket, 1), low);  // 2*bucket (+1 if low)
+    *sym = _mm256_i32gather_epi32(sym32, b2, 4);
+    *freq = _mm256_i32gather_epi32(freq32, b2, 4);
+    *bias = _mm256_sub_epi32(xm, _mm256_i32gather_epi32(adj32, b2, 4));
+  }
+  uint32_t scalar(uint32_t st, uint8_t* o) const {
+    const uint32_t xm = st & mask;
+    uint32_t b2 = (xm >> (sb - 8)) * 2;
+    if (xm < (uint32_t)div32[b2 >> 1]) b2++;
+    *o = (uint8_t)sym32[b2];
+    return (uint32_t)freq32[b2] * (st >> sb) + xm - (uint32_t)adj32[b2];
+  }
+};
 #endif  // __AVX2__
 
 struct Model {
@@ -462,16 +620,26 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
   if (variant == 3 && !build_alias(m.freqs, m.cum, sb, &alias)) return -2;
 
 #if defined(__AVX2__)
-  // widened tables for the AVX2 word path's vpgatherdd (32-bit loads)
+  // widened tables for the AVX2 paths' vpgatherdd (32-bit loads)
+  const bool have_avx2 =
+      L.lpg % 8 == 0 && __builtin_cpu_supports("avx2");
+  const bool word_avx2 = variant == 1 && sb <= 15 && have_avx2;
+  const bool byte_avx2 = variant == 0 && sb <= 16 && have_avx2;
+  const bool alias_avx2 = variant == 3 && have_avx2;
   std::vector<int32_t> c2s32, fc32;
-  const bool word_avx2 = variant == 1 && sb <= 15 && L.lpg % 8 == 0 &&
-                         __builtin_cpu_supports("avx2");
-  if (word_avx2) {
+  if (word_avx2 || byte_avx2) {
     c2s32.assign(m.c2s.begin(), m.c2s.end());
     fc32.resize(kNSyms);
     for (int sy = 0; sy < kNSyms; sy++)
       fc32[sy] = (int32_t)(((m.freqs[sy] ? m.freqs[sy] - 1 : 0) << 16) |
                            (uint32_t)m.cum[sy]);
+  }
+  std::vector<int32_t> adiv32, asym32, afreq32, aadj32;
+  if (alias_avx2) {
+    adiv32.assign(alias.divider.begin(), alias.divider.end());
+    asym32.assign(alias.sym_id.begin(), alias.sym_id.end());
+    afreq32.assign(alias.slot_freqs.begin(), alias.slot_freqs.end());
+    aadj32.assign(alias.slot_adjust.begin(), alias.slot_adjust.end());
   }
 #endif
 
@@ -479,6 +647,16 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
   for (int s = 0; s < L.n_streams; s++) {
     switch (variant) {
       case 0: {
+#if defined(__AVX2__)
+        if (byte_avx2) {
+          ByteLookupAvx2 lk{c2s32.data(), fc32.data(), sb,
+                            (uint32_t)mask};
+          decode_stream_byte_avx2(L, s, payload + off, stream_words[s],
+                                  sb, lk, out);
+          off += stream_words[s];
+          break;
+        }
+#endif
         auto step = [&](uint64_t x, int* sym) {
           const uint64_t slot = x & mask;
           const int sy = m.c2s[slot];
@@ -523,6 +701,16 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
         break;
       }
       case 3: {  // alias O(1) lookup (main_alias.cpp:252-267)
+#if defined(__AVX2__)
+        if (alias_avx2) {
+          AliasLookupAvx2 lk{adiv32.data(), asym32.data(), afreq32.data(),
+                             aadj32.data(), sb, (uint32_t)mask};
+          decode_stream_byte_avx2(L, s, payload + off, stream_words[s],
+                                  sb, lk, out);
+          off += stream_words[s];
+          break;
+        }
+#endif
         auto step = [&](uint64_t x, int* sym) {
           const uint64_t xm = x & mask;
           uint32_t b2 = (uint32_t)(xm >> (sb - 8)) * 2;
