@@ -494,6 +494,103 @@ struct AliasLookupAvx2 {
     return (uint32_t)freq32[b2] * (st >> sb) + xm - (uint32_t)adj32[b2];
   }
 };
+// ---------------------------------------------------------------------------
+// AVX2 4-lane decode for RANS64 (63-bit states, 32-bit renorm), pb <= 16.
+// One 32-bit word per renorming lane per step (x >= 1 so (x<<32)|w >= 2^32
+// > 2^31, rans64.h:134-139); same ordered-consumption LUT idea as the word
+// path, over 4 64-bit lanes.
+// ---------------------------------------------------------------------------
+
+alignas(32) static int32_t g_perm_lut64[16][8];
+
+static bool init_perm_lut64() {
+  for (int m = 0; m < 16; m++) {
+    int k = 0;
+    for (int lane = 0; lane < 4; lane++) {
+      const int r = (m >> lane) & 1 ? k++ : 3;
+      g_perm_lut64[m][2 * lane] = 2 * r;
+      g_perm_lut64[m][2 * lane + 1] = 2 * r + 1;
+    }
+  }
+  return true;
+}
+static const bool g_perm64_ready = init_perm_lut64();
+
+void decode_stream_r64_avx2(const Layout& L, int stream,
+                            const uint32_t* words, int64_t total_words,
+                            int sb, const int32_t* c2s32,
+                            const int32_t* fc32, uint8_t* out) {
+  const int lpg = L.lpg;
+  const int64_t lane_base = (int64_t)stream * lpg;
+  const uint32_t* ptr = words;
+  const uint32_t* end = words + total_words;
+  std::vector<uint64_t> x(lpg);
+  for (int g = 0; g < lpg; g++) {  // 2 LE u32 words per lane
+    x[g] = (uint64_t)ptr[0] | ((uint64_t)ptr[1] << 32);
+    ptr += 2;
+  }
+  int64_t t_full = 0;
+  if (L.n_symbols >= lane_base + lpg)
+    t_full = (L.n_symbols - lane_base - lpg) / L.n_lanes + 1;
+
+  const __m256i vmask = _mm256_set1_epi64x((1ll << sb) - 1);
+  const __m256i vzero = _mm256_setzero_si256();
+  int64_t t = 0;
+  for (; t < t_full && ptr + lpg + 4 <= end; t++) {
+    const int64_t row = t * L.n_lanes + lane_base;
+    for (int g0 = 0; g0 < lpg; g0 += 4) {
+      __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
+      const __m256i slot = _mm256_and_si256(vx, vmask);
+      const __m128i sym = _mm256_i64gather_epi32(c2s32, slot, 4);
+      const __m128i e = _mm_i32gather_epi32(fc32, sym, 4);
+      const __m128i f32 = _mm_add_epi32(_mm_srli_epi32(e, 16),
+                                        _mm_set1_epi32(1));
+      const __m128i cum = _mm_and_si128(e, _mm_set1_epi32(0xFFFF));
+      const __m256i f64 = _mm256_cvtepu32_epi64(f32);
+      const __m256i cum64 = _mm256_cvtepu32_epi64(cum);
+      const __m256i y = _mm256_srli_epi64(vx, sb);
+      // x = freq * y + (slot - cum): 64x32 product via two 32x32->64
+      const __m256i t1 = _mm256_mul_epu32(y, f64);
+      const __m256i t2 = _mm256_mul_epu32(_mm256_srli_epi64(y, 32), f64);
+      vx = _mm256_add_epi64(
+          _mm256_add_epi64(t1, _mm256_slli_epi64(t2, 32)),
+          _mm256_sub_epi64(slot, cum64));
+      // renorm: x < 2^31  <=>  x >> 31 == 0
+      const __m256i need =
+          _mm256_cmpeq_epi64(_mm256_srli_epi64(vx, 31), vzero);
+      const int m = _mm256_movemask_pd(_mm256_castsi256_pd(need));
+      if (m) {
+        const __m256i w4 = _mm256_cvtepu32_epi64(
+            _mm_loadu_si128((const __m128i*)ptr));
+        const __m256i w = _mm256_permutevar8x32_epi32(
+            w4, _mm256_load_si256((const __m256i*)g_perm_lut64[m]));
+        vx = _mm256_blendv_epi8(
+            vx, _mm256_or_si256(_mm256_slli_epi64(vx, 32), w), need);
+        ptr += __builtin_popcount((unsigned)m);
+      }
+      _mm256_storeu_si256((__m256i*)&x[g0], vx);
+      alignas(16) int32_t s4[4];
+      _mm_store_si128((__m128i*)s4, sym);
+      uint8_t* o = out + row + g0;
+      for (int k = 0; k < 4; k++) o[k] = (uint8_t)s4[k];
+    }
+  }
+  const uint64_t mask = (1ull << sb) - 1;
+  for (; t < L.steps; t++) {
+    for (int g = 0; g < lpg; g++) {
+      const int64_t i = t * L.n_lanes + lane_base + g;
+      if (i >= L.n_symbols) continue;
+      uint64_t st = x[g];
+      const uint64_t slot = st & mask;
+      const int sy = c2s32[slot];
+      const uint32_t e = (uint32_t)fc32[sy];
+      st = (uint64_t)((e >> 16) + 1) * (st >> sb) + slot - (e & 0xFFFF);
+      if (st < (1ull << 31)) st = (st << 32) | (uint64_t)(*ptr++);
+      x[g] = st;
+      out[i] = (uint8_t)sy;
+    }
+  }
+}
 #endif  // __AVX2__
 
 struct Model {
@@ -621,13 +718,15 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
 
 #if defined(__AVX2__)
   // widened tables for the AVX2 paths' vpgatherdd (32-bit loads)
-  const bool have_avx2 =
-      L.lpg % 8 == 0 && __builtin_cpu_supports("avx2");
-  const bool word_avx2 = variant == 1 && sb <= 15 && have_avx2;
-  const bool byte_avx2 = variant == 0 && sb <= 16 && have_avx2;
-  const bool alias_avx2 = variant == 3 && have_avx2;
+  const bool have_avx2 = __builtin_cpu_supports("avx2");
+  const bool lanes8 = L.lpg % 8 == 0;
+  const bool word_avx2 = variant == 1 && sb <= 15 && have_avx2 && lanes8;
+  const bool byte_avx2 = variant == 0 && sb <= 16 && have_avx2 && lanes8;
+  const bool alias_avx2 = variant == 3 && have_avx2 && lanes8;
+  const bool r64_avx2 =
+      variant == 2 && sb <= 16 && have_avx2 && L.lpg % 4 == 0;
   std::vector<int32_t> c2s32, fc32;
-  if (word_avx2 || byte_avx2) {
+  if (word_avx2 || byte_avx2 || r64_avx2) {
     c2s32.assign(m.c2s.begin(), m.c2s.end());
     fc32.resize(kNSyms);
     for (int sy = 0; sy < kNSyms; sy++)
@@ -689,6 +788,15 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
         break;
       }
       case 2: {
+#if defined(__AVX2__)
+        if (r64_avx2) {
+          decode_stream_r64_avx2(L, s, (const uint32_t*)(payload + off),
+                                 stream_words[s], sb, c2s32.data(),
+                                 fc32.data(), out);
+          off += stream_words[s] * 4;
+          break;
+        }
+#endif
         auto step = [&](uint64_t x, int* sym) {
           const uint64_t slot = x & mask;
           const int sy = m.c2s[slot];
