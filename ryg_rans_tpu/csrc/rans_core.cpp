@@ -18,6 +18,7 @@
 
 #include <cassert>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -718,7 +719,9 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
 
 #if defined(__AVX2__)
   // widened tables for the AVX2 paths' vpgatherdd (32-bit loads)
-  const bool have_avx2 = __builtin_cpu_supports("avx2");
+  // RANS_CORE_NO_AVX2=1 forces the scalar engine (differential testing)
+  const bool have_avx2 = __builtin_cpu_supports("avx2") &&
+                         std::getenv("RANS_CORE_NO_AVX2") == nullptr;
   const bool lanes8 = L.lpg % 8 == 0;
   const bool word_avx2 = variant == 1 && sb <= 15 && have_avx2 && lanes8;
   const bool byte_avx2 = variant == 0 && sb <= 16 && have_avx2 && lanes8;

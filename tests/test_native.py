@@ -124,3 +124,21 @@ def test_native_threaded_blocks_identical(book1_head, monkeypatch):
     blob_par = api.compress(data, cfg, backend="native")
     assert blob_par == blob_seq
     assert api.decompress(blob_par, backend="native") == data
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_native_avx2_matches_scalar_engine(book1, variant, monkeypatch):
+    """Differential: the AVX2 decode paths must be byte-identical to the
+    scalar lane engine on an AVX2-eligible layout (RANS_CORE_NO_AVX2
+    forces scalar; same process, getenv is read per call)."""
+    pb = 14 if variant != Variant.WORD else 12
+    cfg = RansConfig(variant=variant, prob_bits=pb, n_lanes=256,
+                     lanes_per_stream=64, block_symbols=1 << 18)
+    data = book1[:1 << 18]
+    freqs, cum = stats.build_model(data, pb)
+    payload, words = native.encode(cfg, data, freqs, cum)
+    dec_simd = native.decode(cfg, payload, words, data.size, freqs, cum)
+    monkeypatch.setenv("RANS_CORE_NO_AVX2", "1")
+    dec_scalar = native.decode(cfg, payload, words, data.size, freqs, cum)
+    assert np.array_equal(dec_simd, dec_scalar)
+    assert np.array_equal(dec_scalar, data)
