@@ -197,6 +197,131 @@ int64_t encode_stream(const Layout& L, int stream, const uint8_t* data,
   return n_words;
 }
 
+#if defined(__AVX2__)
+// ---------------------------------------------------------------------------
+// AVX2 8-lane WORD encode (16-bit emission), pb <= 15.
+//
+// Per symbol: renorm test x >= freq << (32-sb) becomes an unsigned
+// compare against (freq << (32-sb)) - 1 (the u32 wrap at freq = M maps
+// exactly to "never renorms"); the scalar engine's lane-DESCENDING
+// backward emission lands lane-ASCENDING in memory, so the vector path
+// decrements the scratch pointer by popcount and writes the renorming
+// lanes' low halves in lane order.  The division x/freq is exact in
+// double (both < 2^32 <= 2^53); freq == 1 lanes bypass it (q = x, and
+// q >= 2^31 would overflow the signed convert) via blend.
+// ---------------------------------------------------------------------------
+
+int64_t encode_stream_word_avx2(const Layout& L, int stream,
+                                const uint8_t* data, int sb,
+                                const int32_t* encfc32, uint16_t* out,
+                                int64_t out_cap_words) {
+  const int lpg = L.lpg;
+  const int64_t lane_base = (int64_t)stream * lpg;
+  std::vector<uint64_t> xs(lpg, 1ull << 16);  // WordTraits::kL
+
+  const int max_renorm = 1;
+  std::vector<uint16_t> scratch(
+      (size_t)(L.steps * lpg * max_renorm + (int64_t)lpg * 2 + 8));
+  uint16_t* ptr = scratch.data() + scratch.size();
+
+  // partial steps (any lane with i >= n_symbols) run scalar, first in
+  // the reverse walk
+  int64_t t_full = 0;
+  if (L.n_symbols >= lane_base + lpg)
+    t_full = (L.n_symbols - lane_base - lpg) / L.n_lanes + 1;
+  for (int64_t t = L.steps - 1; t >= t_full; t--) {
+    for (int g = lpg - 1; g >= 0; g--) {
+      const int64_t i = t * L.n_lanes + lane_base + g;
+      if (i >= L.n_symbols) continue;
+      const int s = data[i];
+      const uint32_t e = (uint32_t)encfc32[s];
+      const uint64_t freq = (e >> 16) + 1;
+      uint64_t st = xs[g];
+      while (st >= freq << (32 - sb)) {
+        *--ptr = (uint16_t)st;
+        st >>= 16;
+      }
+      xs[g] = (st / freq << sb) + st % freq + (e & 0xFFFF);
+    }
+  }
+
+  const __m256i vlow16 = _mm256_set1_epi32(0xFFFF);
+  const __m256i vsign = _mm256_set1_epi32((int32_t)0x80000000);
+  const __m256i vone = _mm256_set1_epi32(1);
+  std::vector<uint32_t> x32(lpg);
+  for (int g = 0; g < lpg; g++) x32[g] = (uint32_t)xs[g];
+
+  for (int64_t t = t_full - 1; t >= 0; t--) {
+    const int64_t row = t * L.n_lanes + lane_base;
+    for (int g0 = lpg - 8; g0 >= 0; g0 -= 8) {
+      __m256i vx = _mm256_loadu_si256((const __m256i*)&x32[g0]);
+      const __m256i sym = _mm256_cvtepu8_epi32(
+          _mm_loadl_epi64((const __m128i*)(data + row + g0)));
+      const __m256i e = _mm256_i32gather_epi32(encfc32, sym, 4);
+      const __m256i freq = _mm256_add_epi32(_mm256_srli_epi32(e, 16),
+                                            vone);
+      const __m256i cum = _mm256_and_si256(e, vlow16);
+      // renorm: x >= freq << (32-sb)  <=>  x > (freq << (32-sb)) - 1
+      const __m256i thm1 = _mm256_sub_epi32(
+          _mm256_slli_epi32(freq, 32 - sb), vone);
+      const __m256i need = _mm256_cmpgt_epi32(
+          _mm256_xor_si256(vx, vsign), _mm256_xor_si256(thm1, vsign));
+      const int m = _mm256_movemask_ps(_mm256_castsi256_ps(need));
+      if (m) {
+        alignas(32) int32_t w8[8];
+        _mm256_store_si256((__m256i*)w8, _mm256_and_si256(vx, vlow16));
+        ptr -= __builtin_popcount((unsigned)m);
+        uint16_t* o = ptr;
+        for (unsigned mm = (unsigned)m; mm; mm &= mm - 1)
+          *o++ = (uint16_t)w8[__builtin_ctz(mm)];
+        vx = _mm256_blendv_epi8(vx, _mm256_srli_epi32(vx, 16), need);
+      }
+      // update x = (x/freq << sb) + x%freq + cum; x/freq exact in double
+      const __m256i xlo = _mm256_and_si256(vx, vlow16);
+      const __m256i xhi = _mm256_srli_epi32(vx, 16);
+      const __m256d xd0 = _mm256_add_pd(
+          _mm256_mul_pd(
+              _mm256_cvtepi32_pd(_mm256_castsi256_si128(xhi)),
+              _mm256_set1_pd(65536.0)),
+          _mm256_cvtepi32_pd(_mm256_castsi256_si128(xlo)));
+      const __m256d xd1 = _mm256_add_pd(
+          _mm256_mul_pd(
+              _mm256_cvtepi32_pd(_mm256_extracti128_si256(xhi, 1)),
+              _mm256_set1_pd(65536.0)),
+          _mm256_cvtepi32_pd(_mm256_extracti128_si256(xlo, 1)));
+      const __m256d fd0 =
+          _mm256_cvtepi32_pd(_mm256_castsi256_si128(freq));
+      const __m256d fd1 =
+          _mm256_cvtepi32_pd(_mm256_extracti128_si256(freq, 1));
+      const __m256i q = _mm256_setr_m128i(
+          _mm256_cvttpd_epi32(_mm256_div_pd(xd0, fd0)),
+          _mm256_cvttpd_epi32(_mm256_div_pd(xd1, fd1)));
+      const __m256i rem = _mm256_sub_epi32(
+          vx, _mm256_mullo_epi32(q, freq));
+      __m256i nx = _mm256_add_epi32(
+          _mm256_add_epi32(_mm256_slli_epi32(q, sb), rem), cum);
+      // freq == 1: q = x (may exceed the signed convert) -> x<<sb + cum
+      const __m256i f1 = _mm256_cmpeq_epi32(freq, vone);
+      nx = _mm256_blendv_epi8(
+          nx, _mm256_add_epi32(_mm256_slli_epi32(vx, sb), cum), f1);
+      _mm256_storeu_si256((__m256i*)&x32[g0], nx);
+    }
+  }
+
+  // flush states, lane-descending so they read back lane-ascending
+  for (int g = lpg - 1; g >= 0; g--) {
+    const uint32_t st = x32[g];
+    *--ptr = (uint16_t)(st >> 16);
+    *--ptr = (uint16_t)st;
+  }
+
+  const int64_t n_words = scratch.data() + scratch.size() - ptr;
+  if (n_words > out_cap_words) return -1;
+  std::memcpy(out, ptr, (size_t)n_words * sizeof(uint16_t));
+  return n_words;
+}
+#endif  // __AVX2__
+
 // Decode one substream forward (RansDecInit/Get/Advance semantics,
 // rans_byte.h:109-149, generalized over lanes).
 template <class T, class DecStep>
@@ -636,6 +761,20 @@ int64_t trans_encode(int variant, int prob_bits, int n_lanes,
   AliasTables alias;
   if (variant == 3 && !build_alias(m.freqs, m.cum, sb, &alias)) return -2;
 
+#if defined(__AVX2__)
+  const bool enc_word_avx2 =
+      variant == 1 && sb <= 15 && L.lpg % 8 == 0 &&
+      __builtin_cpu_supports("avx2") &&
+      std::getenv("RANS_CORE_NO_AVX2") == nullptr;
+  std::vector<int32_t> encfc32;
+  if (enc_word_avx2) {
+    encfc32.resize(kNSyms);
+    for (int sy = 0; sy < kNSyms; sy++)
+      encfc32[sy] = (int32_t)(((m.freqs[sy] ? m.freqs[sy] - 1 : 0) << 16) |
+                              (uint32_t)m.cum[sy]);
+  }
+#endif
+
   int64_t total = 0;
   for (int s = 0; s < L.n_streams; s++) {
     int64_t words = 0;
@@ -653,6 +792,14 @@ int64_t trans_encode(int variant, int prob_bits, int n_lanes,
         break;
       }
       case 1: {  // WORD: x_max = freq << (16 - sb + 16) (rans_word_sse41.h:85)
+#if defined(__AVX2__)
+        if (enc_word_avx2) {
+          words = encode_stream_word_avx2(
+              L, s, data, sb, encfc32.data(), (uint16_t*)(out + total),
+              (out_capacity - total) / (int64_t)sizeof(uint16_t));
+          break;
+        }
+#endif
         auto xmax = [&](int sym) {
           return (uint64_t)m.freqs[sym] << (16 - sb + 16);
         };

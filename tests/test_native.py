@@ -140,5 +140,7 @@ def test_native_avx2_matches_scalar_engine(book1, variant, monkeypatch):
     dec_simd = native.decode(cfg, payload, words, data.size, freqs, cum)
     monkeypatch.setenv("RANS_CORE_NO_AVX2", "1")
     dec_scalar = native.decode(cfg, payload, words, data.size, freqs, cum)
+    p2, w2 = native.encode(cfg, data, freqs, cum)  # scalar encoder
+    assert bytes(payload) == bytes(p2) and np.array_equal(words, w2)
     assert np.array_equal(dec_simd, dec_scalar)
     assert np.array_equal(dec_scalar, data)
