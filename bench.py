@@ -122,60 +122,93 @@ def _bench_variant(variant_name: str, pb: int, data, models, R: int,
     return SYMS / ((b - a) / (hi - lo)) / 1e9, container_bytes
 
 
+def _cpu_fallback(book1):
+    """Bench the native host codec instead (still useful signal when no
+    TPU is attached).  Never touches the JAX backend."""
+    import numpy as np
+
+    from ryg_rans_tpu import native
+    from ryg_rans_tpu.config import RansConfig, Variant
+    from ryg_rans_tpu.models import stats
+
+    cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=1024,
+                     lanes_per_stream=128, block_symbols=1 << 20)
+    freqs, cum = stats.build_model(book1, cfg.prob_bits)
+    payload, words = native.encode(cfg, book1, freqs, cum)
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        dec = native.decode(cfg, payload, words, book1.size, freqs, cum)
+        best = min(best, time.perf_counter() - t0)
+    assert np.array_equal(dec, book1)
+    gbs = book1.size / best / 1e9
+    print(json.dumps({"metric": "decode_throughput_native_cpu",
+                      "value": round(gbs, 4), "unit": "GB/s",
+                      "vs_baseline": round(gbs / 0.5508, 3)}))
+
+
 def main():
+    """Orchestrator: NEVER initializes the JAX backend in this process.
+
+    The remote-TPU tunnel can refuse to initialize (UNAVAILABLE) or HANG
+    in backend setup -- and it can also wedge mid-run.  So: probe the
+    backend in 2 x 90s subprocesses (no sleeps -- total probe budget
+    ~3 min, VERDICT r3 weak #1), then run the TPU bench itself in a
+    watchdogged subprocess; on any probe failure, subprocess timeout, or
+    unparseable output, emit the native-CPU fallback line.  The driver
+    therefore always gets a JSON line within bounded time."""
+    import subprocess
+
     import numpy as np
 
     book1 = np.frombuffer(open("/root/reference/book1", "rb").read(),
                           np.uint8)
 
-    import jax
-
-    from ryg_rans_tpu.models import stats
-
-    # The remote-TPU tunnel occasionally refuses to initialize (raises
-    # UNAVAILABLE) or HANGS in backend setup; probing in a subprocess
-    # with a timeout covers both.  Retry for up to ~20 min -- the TPU
-    # number is the headline -- then fall back to the native CPU bench so
-    # the run always records a number.
-    import subprocess
-
     on_tpu = False
-    for attempt in range(6):
+    for attempt in range(2):
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; print(jax.default_backend())"],
-                capture_output=True, text=True, timeout=240)
+                capture_output=True, text=True, timeout=90)
             if r.returncode == 0 and "cpu" not in r.stdout:
-                on_tpu = jax.default_backend() != "cpu"  # now safe
+                on_tpu = True
                 break
             msg = (r.stdout + r.stderr).strip().splitlines()
             print(f"backend probe {attempt + 1}: "
                   f"{msg[-1] if msg else 'no output'}", file=sys.stderr)
         except subprocess.TimeoutExpired:
-            print(f"backend probe {attempt + 1}: hang (240s)",
+            print(f"backend probe {attempt + 1}: hang (90s)",
                   file=sys.stderr)
-        time.sleep(60)
-    if not on_tpu:
-        # CPU fallback: bench the native host codec instead (still useful
-        # signal when no TPU is attached).
-        from ryg_rans_tpu import native
-        from ryg_rans_tpu.config import RansConfig, Variant
-        cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=1024,
-                         lanes_per_stream=128, block_symbols=1 << 20)
-        freqs, cum = stats.build_model(book1, cfg.prob_bits)
-        payload, words = native.encode(cfg, book1, freqs, cum)
-        best = 1e9
-        for _ in range(5):
-            t0 = time.perf_counter()
-            dec = native.decode(cfg, payload, words, book1.size, freqs, cum)
-            best = min(best, time.perf_counter() - t0)
-        assert np.array_equal(dec, book1)
-        gbs = book1.size / best / 1e9
-        print(json.dumps({"metric": "decode_throughput_native_cpu",
-                          "value": round(gbs, 4), "unit": "GB/s",
-                          "vs_baseline": round(gbs / 0.5508, 3)}))
-        return
+
+    if on_tpu:
+        # Watchdog the real run: a tunnel wedge between the probe and (or
+        # during) the bench must not leave the driver without a number.
+        try:
+            r = subprocess.run([sys.executable, __file__, "--tpu-run"],
+                               capture_output=True, text=True, timeout=1500)
+            sys.stderr.write(r.stderr)
+            line = next((ln for ln in reversed(r.stdout.splitlines())
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line is not None:
+                json.loads(line)  # must parse
+                print(line)
+                return
+            print("TPU run failed; falling back to native CPU",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print("TPU run hung (1500s); falling back to native CPU",
+                  file=sys.stderr)
+    _cpu_fallback(book1)
+
+
+def tpu_run():
+    import numpy as np
+
+    book1 = np.frombuffer(open("/root/reference/book1", "rb").read(),
+                          np.uint8)
+
+    from ryg_rans_tpu.models import stats
 
     # R=128 (16384 lanes) measured fastest on v5e r2 (13.0 GB/s WORD vs 9.3
     # at R=64; benchmarks/tune_word_decode.py); R=256 fails to compile.
@@ -220,11 +253,14 @@ def main():
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:  # keep the driver's record parseable on failure
-        print(json.dumps({"metric": "decode_throughput_tpu_per_chip",
-                          "value": 0.0, "unit": "GB/s",
-                          "vs_baseline": 0.0}))
-        print(f"ERROR: {type(e).__name__}: {e}", file=sys.stderr)
-        sys.exit(1)
+    if "--tpu-run" in sys.argv:
+        tpu_run()  # child process; parent watchdogs + falls back on failure
+    else:
+        try:
+            main()
+        except Exception as e:  # keep the driver's record parseable
+            print(json.dumps({"metric": "decode_throughput_tpu_per_chip",
+                              "value": 0.0, "unit": "GB/s",
+                              "vs_baseline": 0.0}))
+            print(f"ERROR: {type(e).__name__}: {e}", file=sys.stderr)
+            sys.exit(1)

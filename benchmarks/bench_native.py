@@ -69,7 +69,7 @@ def main():
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:
             json.dump({
-                "note": "native C++ host codec (AVX2 paths, r3), book1, "
+                "note": "native C++ host codec (AVX2 decode r3 + AVX2/reciprocal encode r4), book1, "
                         "N=1024/lps=128; reference on this host: SSE word "
                         "decode 0.542 GB/s, scalar byte decode 0.133-0.200,"
                         " best encode 0.387",

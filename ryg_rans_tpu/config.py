@@ -175,7 +175,8 @@ class RansConfig:
         )
 
     @classmethod
-    def auto(cls, n_bytes: int, variant: Variant = Variant.WORD) -> "RansConfig":
+    def auto(cls, n_bytes: int,
+             variant: "Variant | None" = None) -> "RansConfig":
         """Size-adaptive config: the shape `compress(data)` uses by default.
 
         Every extra lane costs ~4 B of flushed state per block (the
@@ -185,8 +186,14 @@ class RansConfig:
         This picks the largest lane count whose per-block head stays under
         ~0.8% of the input (n_lanes <= n_bytes/512), so small inputs get
         ratio-optimal shapes and large inputs converge to the benchmarked
-        Pareto point (16384 lanes, 2^23-symbol blocks: 12.5+ GB/s decode
-        at ~1% size overhead).
+        Pareto point (16384 lanes, 2^23-symbol blocks).
+
+        With no explicit `variant`, large inputs (the ones that reach the
+        full 16384-lane shape) get ALIAS prob_bits=16 -- the headline
+        operating point: fastest decode AND best ratio (docs/DESIGN.md;
+        bench.py measures exactly this front-door config).  Smaller
+        inputs stay WORD: its encoder is ~3x faster and the 2^16-slot
+        alias tables aren't worth building for sub-8-MiB payloads.
         """
         n = 1024
         while n < 16384 and n * 2 * 512 <= max(n_bytes, 1):
@@ -194,5 +201,7 @@ class RansConfig:
         bs = 4 * n
         while bs < (1 << 23) and bs < max(n_bytes, 1):
             bs *= 2
+        if variant is None:
+            variant = Variant.ALIAS if n == 16384 else Variant.WORD
         return cls(variant=variant, prob_bits=DEFAULT_PROB_BITS[variant],
                    n_lanes=n, block_symbols=bs)

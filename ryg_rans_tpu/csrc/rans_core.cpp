@@ -320,6 +320,169 @@ int64_t encode_stream_word_avx2(const Layout& L, int stream,
   std::memcpy(out, ptr, (size_t)n_words * sizeof(uint16_t));
   return n_words;
 }
+
+// ---------------------------------------------------------------------------
+// AVX2 8-lane encode for the BYTE-renorm variants (BYTE and ALIAS), pb<=16.
+//
+// The reverse of decode_stream_byte_avx2: the bounded 2-round byte renorm
+// becomes closed-form k = (x >= xmax) + (x>>8 >= xmax) (n2 implies n1, so
+// two blend-shifts realize both rounds), and the renorming lanes' bytes
+// are stored lane-ASCENDING, MSB-first, behind a decrementing scratch
+// pointer -- exactly the scalar engine's lane-descending backward
+// emission order (docs/FORMAT.md).  x/freq is exact in double: after
+// renorm x < freq << (31-sb) <= 2^31 and the quotient's distance to the
+// next integer, >= 1/freq >= 2^-16, exceeds the <= 2^-21 division
+// rounding error.  ALIAS adds one slot-remap gather (main_alias.cpp:
+// 241-250 semantics); the reference's reciprocal scheme (rans_byte.h:
+// 174-243) loses here -- this host is gather-bound and the extra table
+// gathers cost more than div_pd (docs/DESIGN.md dead ends).
+// ---------------------------------------------------------------------------
+
+static inline __m256i exclusive_prefix_sum_epi32(__m256i v) {
+  // 3-step inclusive scan over 8 lanes (rotate + zero-blend), minus v
+  const __m256i sh1 = _mm256_setr_epi32(7, 0, 1, 2, 3, 4, 5, 6);
+  const __m256i sh2 = _mm256_setr_epi32(6, 7, 0, 1, 2, 3, 4, 5);
+  const __m256i sh4 = _mm256_setr_epi32(4, 5, 6, 7, 0, 1, 2, 3);
+  const __m256i z = _mm256_setzero_si256();
+  __m256i s = v;
+  __m256i t = _mm256_blend_epi32(_mm256_permutevar8x32_epi32(s, sh1), z,
+                                 0x01);
+  s = _mm256_add_epi32(s, t);
+  t = _mm256_blend_epi32(_mm256_permutevar8x32_epi32(s, sh2), z, 0x03);
+  s = _mm256_add_epi32(s, t);
+  t = _mm256_blend_epi32(_mm256_permutevar8x32_epi32(s, sh4), z, 0x0F);
+  s = _mm256_add_epi32(s, t);
+  return _mm256_sub_epi32(s, v);
+}
+
+struct IdentityRemap {
+  __m256i operator()(__m256i slot) const { return slot; }
+  uint32_t scalar(uint32_t slot) const { return slot; }
+};
+
+struct AliasRemap {
+  const int32_t* remap32;
+  __m256i operator()(__m256i slot) const {
+    return _mm256_i32gather_epi32(remap32, slot, 4);
+  }
+  uint32_t scalar(uint32_t slot) const { return (uint32_t)remap32[slot]; }
+};
+
+template <class RemapSlot>
+int64_t encode_stream_byte_avx2(const Layout& L, int stream,
+                                const uint8_t* data, int sb,
+                                const int32_t* encfc32, const RemapSlot& rm,
+                                uint8_t* out, int64_t out_cap_bytes) {
+  const int lpg = L.lpg;
+  const int64_t lane_base = (int64_t)stream * lpg;
+  const int max_renorm = 2;
+  std::vector<uint8_t> scratch(
+      (size_t)(L.steps * lpg * max_renorm + (int64_t)lpg * 4 + 8));
+  // top 2 bytes are sacrificial slack for the branchless store's
+  // save/restore on the very first emitting group
+  uint8_t* const top = scratch.data() + scratch.size() - 2;
+  uint8_t* ptr = top;
+  std::vector<uint32_t> x32(lpg, 1u << 23);  // ByteTraits::kL
+
+  // partial steps (any lane with i >= n_symbols) run scalar, first in
+  // the reverse walk
+  int64_t t_full = 0;
+  if (L.n_symbols >= lane_base + lpg)
+    t_full = (L.n_symbols - lane_base - lpg) / L.n_lanes + 1;
+  for (int64_t t = L.steps - 1; t >= t_full; t--) {
+    for (int g = lpg - 1; g >= 0; g--) {
+      const int64_t i = t * L.n_lanes + lane_base + g;
+      if (i >= L.n_symbols) continue;
+      const uint32_t e = (uint32_t)encfc32[data[i]];
+      const uint32_t freq = (e >> 16) + 1, cum = e & 0xFFFF;
+      uint32_t st = x32[g];
+      const uint32_t xmax = freq << (31 - sb);
+      while (st >= xmax) {
+        *--ptr = (uint8_t)st;
+        st >>= 8;
+      }
+      x32[g] = ((st / freq) << sb) + rm.scalar(st % freq + cum);
+    }
+  }
+
+  const __m256i vone = _mm256_set1_epi32(1);
+  const __m256i vlow16 = _mm256_set1_epi32(0xFFFF);
+  const __m256i vsign = _mm256_set1_epi32((int32_t)0x80000000);
+  for (int64_t t = t_full - 1; t >= 0; t--) {
+    const int64_t row = t * L.n_lanes + lane_base;
+    for (int g0 = lpg - 8; g0 >= 0; g0 -= 8) {
+      __m256i vx = _mm256_loadu_si256((const __m256i*)&x32[g0]);
+      const __m256i sym = _mm256_cvtepu8_epi32(
+          _mm_loadl_epi64((const __m128i*)(data + row + g0)));
+      const __m256i e = _mm256_i32gather_epi32(encfc32, sym, 4);
+      const __m256i freq = _mm256_add_epi32(_mm256_srli_epi32(e, 16), vone);
+      const __m256i cum = _mm256_and_si256(e, vlow16);
+      // renorm: x >= freq << (31-sb), unsigned via the sign-xor compare
+      // (the u32 wrap at freq = M maps exactly to "x < 2^31 never hits")
+      const __m256i thm1x = _mm256_xor_si256(
+          _mm256_sub_epi32(_mm256_slli_epi32(freq, 31 - sb), vone), vsign);
+      const __m256i n1 = _mm256_cmpgt_epi32(
+          _mm256_xor_si256(vx, vsign), thm1x);
+      const __m256i x8 = _mm256_srli_epi32(vx, 8);
+      const __m256i n2 = _mm256_cmpgt_epi32(
+          _mm256_xor_si256(x8, vsign), thm1x);  // n2 implies n1
+      if (!_mm256_testz_si256(n1, n1)) {
+        const __m256i k = _mm256_sub_epi32(
+            _mm256_setzero_si256(), _mm256_add_epi32(n1, n2));
+        alignas(32) int32_t xa[8], ka[8], offs[8];
+        _mm256_store_si256((__m256i*)xa, vx);
+        _mm256_store_si256((__m256i*)ka, k);
+        _mm256_store_si256((__m256i*)offs, exclusive_prefix_sum_epi32(k));
+        uint8_t* const oe = ptr;           // previous group's region start
+        ptr -= offs[7] + ka[7];
+        // branchless compressed store: every lane writes a 2-byte pair
+        // at its prefix-sum offset (MSB-first); k<2 lanes spill into the
+        // next lane's position (overwritten, lanes ascend) and the final
+        // <=2-byte spill past the region is save/restored.  The scratch
+        // tail slack covers the very first group's spill.
+        const uint8_t s0 = oe[0], s1 = oe[1];
+        for (int l = 0; l < 8; l++) {
+          const uint32_t xv = (uint32_t)xa[l];
+          const uint16_t pair = (uint16_t)(
+              (uint8_t)(xv >> ((ka[l] & 2) << 2)) | ((xv & 0xFF) << 8));
+          std::memcpy(ptr + offs[l], &pair, 2);
+        }
+        oe[0] = s0;
+        oe[1] = s1;
+        vx = _mm256_blendv_epi8(vx, x8, n1);
+        vx = _mm256_blendv_epi8(vx, _mm256_srli_epi32(vx, 8), n2);
+      }
+      // x = (x/freq << sb) + remap(x%freq + cum); x < 2^31 so the signed
+      // i32 -> double convert is direct (no limb split needed)
+      const __m256d xd0 = _mm256_cvtepi32_pd(_mm256_castsi256_si128(vx));
+      const __m256d xd1 =
+          _mm256_cvtepi32_pd(_mm256_extracti128_si256(vx, 1));
+      const __m256d fd0 =
+          _mm256_cvtepi32_pd(_mm256_castsi256_si128(freq));
+      const __m256d fd1 =
+          _mm256_cvtepi32_pd(_mm256_extracti128_si256(freq, 1));
+      const __m256i q = _mm256_setr_m128i(
+          _mm256_cvttpd_epi32(_mm256_div_pd(xd0, fd0)),
+          _mm256_cvttpd_epi32(_mm256_div_pd(xd1, fd1)));
+      const __m256i rem =
+          _mm256_sub_epi32(vx, _mm256_mullo_epi32(q, freq));
+      const __m256i nx = _mm256_add_epi32(
+          _mm256_slli_epi32(q, sb), rm(_mm256_add_epi32(rem, cum)));
+      _mm256_storeu_si256((__m256i*)&x32[g0], nx);
+    }
+  }
+
+  // flush states, lane-descending so they read back lane-ascending
+  for (int g = lpg - 1; g >= 0; g--) {
+    const uint32_t st = x32[g];
+    for (int w = 3; w >= 0; w--) *--ptr = (uint8_t)(st >> (w * 8));
+  }
+
+  const int64_t n_bytes = top - ptr;
+  if (n_bytes > out_cap_bytes) return -1;
+  std::memcpy(out, ptr, (size_t)n_bytes);
+  return n_bytes;
+}
 #endif  // __AVX2__
 
 // Decode one substream forward (RansDecInit/Get/Advance semantics,
@@ -474,23 +637,6 @@ void decode_stream_word_avx2(const Layout& L, int stream,
 // 32-bit gather at (ptr + off) yields both bytes (b0 = low byte, b1 =
 // next) -- ordered consumption without any per-lane loop.
 // ---------------------------------------------------------------------------
-
-static inline __m256i exclusive_prefix_sum_epi32(__m256i v) {
-  // 3-step inclusive scan over 8 lanes (rotate + zero-blend), minus v
-  const __m256i sh1 = _mm256_setr_epi32(7, 0, 1, 2, 3, 4, 5, 6);
-  const __m256i sh2 = _mm256_setr_epi32(6, 7, 0, 1, 2, 3, 4, 5);
-  const __m256i sh4 = _mm256_setr_epi32(4, 5, 6, 7, 0, 1, 2, 3);
-  const __m256i z = _mm256_setzero_si256();
-  __m256i s = v;
-  __m256i t = _mm256_blend_epi32(_mm256_permutevar8x32_epi32(s, sh1), z,
-                                 0x01);
-  s = _mm256_add_epi32(s, t);
-  t = _mm256_blend_epi32(_mm256_permutevar8x32_epi32(s, sh2), z, 0x03);
-  s = _mm256_add_epi32(s, t);
-  t = _mm256_blend_epi32(_mm256_permutevar8x32_epi32(s, sh4), z, 0x0F);
-  s = _mm256_add_epi32(s, t);
-  return _mm256_sub_epi32(s, v);
-}
 
 // SymLookup: (slot, x>>sb) are implicit; functor fills (sym, freq, bias)
 // vectors from the slot -- BYTE uses c2s+fc tables, ALIAS the divider
@@ -719,6 +865,49 @@ void decode_stream_r64_avx2(const Layout& L, int stream,
 }
 #endif  // __AVX2__
 
+// ---------------------------------------------------------------------------
+// RANS64 division-free encode: per-symbol 64-bit Alverson reciprocals with
+// the freq < 2 fold (rcp = 2^64-1 makes q = x-1; bias = start + M - 1
+// absorbs the correction), the same scheme the reference uses
+// (rans64.h:167-247) and models/tables.py builds for the TPU path.  The
+// 64-bit hardware divide this replaces was the encode bottleneck
+// (NATIVE_r03: 0.29 GB/s vs the reference's reciprocal build at 0.387).
+// ---------------------------------------------------------------------------
+
+struct R64EncSym {  // 32 bytes: two entries per cache line
+  uint64_t rcp_freq;
+  uint64_t x_max;      // freq << (63 - sb)
+  uint64_t bias;       // cum (+ M - 1 in the freq < 2 fold); u64 so the
+                       // pb=31 x + bias add never truncates
+  uint32_t cmpl_freq;  // M - freq (fits u32 for sb <= 31)
+  uint32_t rcp_shift;
+};
+static_assert(sizeof(R64EncSym) == 32, "keep two R64EncSym per cache line");
+
+void build_r64_enc(const uint32_t* freqs, const uint64_t* cum, int sb,
+                   R64EncSym* out) {
+  const uint64_t M = 1ull << sb;
+  for (int s = 0; s < kNSyms; s++) {
+    const uint64_t freq = freqs[s];
+    R64EncSym& e = out[s];
+    e.x_max = freq << (63 - sb);
+    e.cmpl_freq = M - freq;
+    if (freq < 2) {
+      e.rcp_freq = ~0ull;
+      e.rcp_shift = 0;
+      e.bias = cum[s] + M - 1;
+    } else {
+      uint32_t shift = 0;
+      while (freq > (1ull << shift)) shift++;
+      // ceil(2^(shift+63) / freq) via 128-bit arithmetic
+      e.rcp_freq = (uint64_t)((((unsigned __int128)1 << (shift + 63)) +
+                               freq - 1) / freq);
+      e.rcp_shift = shift - 1;
+      e.bias = cum[s];
+    }
+  }
+}
+
 struct Model {
   uint64_t cum[kNSyms + 1];
   uint32_t freqs[kNSyms];
@@ -762,24 +951,39 @@ int64_t trans_encode(int variant, int prob_bits, int n_lanes,
   if (variant == 3 && !build_alias(m.freqs, m.cum, sb, &alias)) return -2;
 
 #if defined(__AVX2__)
-  const bool enc_word_avx2 =
-      variant == 1 && sb <= 15 && L.lpg % 8 == 0 &&
-      __builtin_cpu_supports("avx2") &&
-      std::getenv("RANS_CORE_NO_AVX2") == nullptr;
+  const bool enc_avx2_ok = __builtin_cpu_supports("avx2") &&
+                           std::getenv("RANS_CORE_NO_AVX2") == nullptr &&
+                           L.lpg % 8 == 0;
+  const bool enc_word_avx2 = variant == 1 && sb <= 15 && enc_avx2_ok;
+  const bool enc_byte_avx2 =
+      (variant == 0 || variant == 3) && sb <= 16 && enc_avx2_ok;
   std::vector<int32_t> encfc32;
-  if (enc_word_avx2) {
+  if (enc_word_avx2 || enc_byte_avx2) {
     encfc32.resize(kNSyms);
     for (int sy = 0; sy < kNSyms; sy++)
       encfc32[sy] = (int32_t)(((m.freqs[sy] ? m.freqs[sy] - 1 : 0) << 16) |
                               (uint32_t)m.cum[sy]);
   }
 #endif
+  std::vector<R64EncSym> r64tab;
+  if (variant == 2) {
+    r64tab.resize(kNSyms);
+    build_r64_enc(m.freqs, m.cum, sb, r64tab.data());
+  }
 
   int64_t total = 0;
   for (int s = 0; s < L.n_streams; s++) {
     int64_t words = 0;
     switch (variant) {
       case 0: {  // BYTE: x_max = freq << (23 - sb + 8)   (rans_byte.h:64)
+#if defined(__AVX2__)
+        if (enc_byte_avx2) {
+          words = encode_stream_byte_avx2(L, s, data, sb, encfc32.data(),
+                                          IdentityRemap{}, out + total,
+                                          out_capacity - total);
+          break;
+        }
+#endif
         auto xmax = [&](int sym) {
           return (uint64_t)m.freqs[sym] << (23 - sb + 8);
         };
@@ -812,11 +1016,14 @@ int64_t trans_encode(int variant, int prob_bits, int n_lanes,
         break;
       }
       case 2: {  // RANS64: x_max = freq << (31 - sb + 32)   (rans64.h:83)
-        auto xmax = [&](int sym) {
-          return (uint64_t)m.freqs[sym] << (31 - sb + 32);
-        };
+        auto xmax = [&](int sym) { return r64tab[sym].x_max; };
         auto upd = [&](uint64_t x, int sym) {
-          return ((x / m.freqs[sym]) << sb) + (x % m.freqs[sym]) + m.cum[sym];
+          // q = mulhi64(x, rcp) >> shift; x += bias + q * (M - freq)
+          const R64EncSym& e = r64tab[sym];
+          const uint64_t q =
+              (uint64_t)(((unsigned __int128)x * e.rcp_freq) >> 64) >>
+              e.rcp_shift;
+          return x + e.bias + q * e.cmpl_freq;
         };
         words = encode_stream<R64Traits>(
             L, s, data, xmax, upd, (uint32_t*)(out + total),
@@ -824,6 +1031,15 @@ int64_t trans_encode(int variant, int prob_bits, int n_lanes,
         break;
       }
       case 3: {  // ALIAS: byte renorm + remapped slot (main_alias.cpp:241-250)
+#if defined(__AVX2__)
+        if (enc_byte_avx2) {
+          words = encode_stream_byte_avx2(
+              L, s, data, sb, encfc32.data(),
+              AliasRemap{(const int32_t*)alias.remap.data()}, out + total,
+              out_capacity - total);
+          break;
+        }
+#endif
         auto xmax = [&](int sym) {
           return (uint64_t)m.freqs[sym] << (23 - sb + 8);
         };

@@ -498,6 +498,8 @@ def encode_blocks(tables, syms_packed, *, T4: int, R: int, sb: int,
         raise ValueError("compiled TPU encode needs n_lanes >= 256")
     if n_blocks % ilp:
         raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
+    if hoist_extra not in (0, 1, 2):
+        raise ValueError(f"hoist_extra={hoist_extra} not in 0..2")
     tab_specs = [
         pl.BlockSpec(t.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
         for t in tables

@@ -139,6 +139,10 @@ def _read_varints_mv(blob, off: int, n: int) -> tuple[np.ndarray, int]:
                 shift += 7
                 if not b & 0x80:
                     break
+                if shift > 28:  # counts are u32; more bytes = corruption
+                    raise ValueError("container corrupt in counts")
+            if v > 0xFFFFFFFF:
+                raise ValueError("container corrupt in counts")
             out[i] = v
     except IndexError:
         raise ValueError("container truncated in counts") from None
@@ -158,6 +162,10 @@ def _read_varints_file(f, n: int) -> np.ndarray:
             shift += 7
             if not b & 0x80:
                 break
+            if shift > 28:  # counts are u32; more bytes = corruption
+                raise ValueError("container corrupt in counts")
+        if v > 0xFFFFFFFF:
+            raise ValueError("container corrupt in counts")
         out[i] = v
     return out
 

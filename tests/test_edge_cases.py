@@ -115,6 +115,27 @@ def test_truncated_container_rejected(book1_head):
             api.decompress(blob[:cut], backend="numpy")
 
 
+def test_overlong_varint_counts_rejected():
+    """Corrupt LEB128 counts must raise the typed container error, never
+    numpy OverflowError (ADVICE r3: unbounded continuation bytes let the
+    accumulated value exceed u32)."""
+    import io
+
+    from ryg_rans_tpu.utils import container as cont
+
+    # 0xFF continuation bytes: value exceeds u32 / shift exceeds 28
+    for bad in (b"\xff\xff\xff\xff\xff\x01", b"\xff\xff\xff\xff\x7f"):
+        with pytest.raises(ValueError, match="corrupt in counts"):
+            cont._read_varints_mv(memoryview(bad), 0, 1)
+        with pytest.raises(ValueError, match="corrupt in counts"):
+            cont._read_varints_file(io.BytesIO(bad), 1)
+    # boundary: max u32 (5 bytes, high nibble 0x0F) still parses
+    ok = b"\xff\xff\xff\xff\x0f"
+    vals, off = cont._read_varints_mv(memoryview(ok), 0, 1)
+    assert vals[0] == 0xFFFFFFFF and off == 5
+    assert cont._read_varints_file(io.BytesIO(ok), 1)[0] == 0xFFFFFFFF
+
+
 def test_header_field_corruption_rejected(book1_head):
     blob = bytearray(api.compress(book1_head[:5000].tobytes(),
                                   _cfg(Variant.WORD), backend="numpy"))

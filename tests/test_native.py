@@ -46,6 +46,27 @@ def test_native_matches_numpy_oracle(book1_head, variant, n_lanes, lpg):
     assert np.array_equal(dec, data)
 
 
+@pytest.mark.parametrize("pb", [20, 31])
+def test_native_r64_reciprocal_matches_oracle(book1_head, pb):
+    """The division-free RANS64 encode (64-bit Alverson reciprocals,
+    rans64.h:167-247 semantics) must produce the exact oracle stream at
+    the precisions the AVX2/scalar differential can't cross-check."""
+    data = book1_head[:32768]
+    cfg = _cfg(Variant.RANS64, 8, 4, prob_bits=pb)
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+
+    streams_np = oracle.encode(cfg, data, freqs, cum)
+    payload_c, words_c = native.encode(cfg, data, freqs, cum)
+
+    np_words = np.array([s.size for s in streams_np], np.int64)
+    assert np.array_equal(words_c, np_words)
+    cat = b"".join(s.tobytes() for s in streams_np)
+    assert payload_c.tobytes() == cat, f"payload mismatch {cfg}"
+
+    dec = native.decode(cfg, payload_c, words_c, data.size, freqs, cum)
+    assert np.array_equal(dec, data)
+
+
 @pytest.mark.parametrize("variant,published", [
     (Variant.BYTE, 435113),    # README:48  (plain rans_byte)
     (Variant.RANS64, 435116),  # README:82
@@ -126,15 +147,24 @@ def test_native_threaded_blocks_identical(book1_head, monkeypatch):
     assert api.decompress(blob_par, backend="native") == data
 
 
-@pytest.mark.parametrize("variant", VARIANTS)
-def test_native_avx2_matches_scalar_engine(book1, variant, monkeypatch):
-    """Differential: the AVX2 decode paths must be byte-identical to the
-    scalar lane engine on an AVX2-eligible layout (RANS_CORE_NO_AVX2
-    forces scalar; same process, getenv is read per call)."""
-    pb = 14 if variant != Variant.WORD else 12
+@pytest.mark.parametrize("variant,pb", [
+    (Variant.BYTE, 14), (Variant.WORD, 12), (Variant.RANS64, 14),
+    (Variant.ALIAS, 16),
+    # precision edges: fused (freq-1)<<16|cum fields saturate at pb=16;
+    # pb=9 exercises the widest renorm thresholds; RANS64 20/31 cover the
+    # reciprocal-encode range beyond the AVX2-decode pb<=16 window
+    (Variant.BYTE, 16), (Variant.BYTE, 9), (Variant.WORD, 15),
+    (Variant.ALIAS, 12), (Variant.RANS64, 20), (Variant.RANS64, 31),
+])
+def test_native_avx2_matches_scalar_engine(book1, variant, pb, monkeypatch):
+    """Differential: the AVX2 encode AND decode paths must be
+    byte-identical to the scalar lane engine on an AVX2-eligible layout
+    (RANS_CORE_NO_AVX2 forces scalar; same process, getenv is read per
+    call).  The odd symbol count leaves a partial final step so the
+    scalar head of the vector engines runs too."""
     cfg = RansConfig(variant=variant, prob_bits=pb, n_lanes=256,
                      lanes_per_stream=64, block_symbols=1 << 18)
-    data = book1[:1 << 18]
+    data = book1[:(1 << 18) - 37]
     freqs, cum = stats.build_model(data, pb)
     payload, words = native.encode(cfg, data, freqs, cum)
     dec_simd = native.decode(cfg, payload, words, data.size, freqs, cum)

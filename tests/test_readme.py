@@ -81,5 +81,11 @@ def test_auto_config_adapts_to_size():
         if size >= 1 << 20:
             assert 4 * cfg.n_lanes <= 0.01 * size  # head budget per block
     assert RansConfig.auto(768_771).n_lanes == 1024   # book1: ratio-optimal
+    assert RansConfig.auto(768_771).variant == Variant.WORD
     big = RansConfig.auto(33 << 20)
     assert big.n_lanes == 16384 and big.block_symbols == 1 << 23
+    # large inputs get the headline operating point (README: rt.compress
+    # picks the benched ALIAS pb16 shape automatically; ADVICE r3)
+    assert big.variant == Variant.ALIAS and big.prob_bits == 16
+    # an explicit variant is never overridden
+    assert RansConfig.auto(33 << 20, Variant.WORD).variant == Variant.WORD
