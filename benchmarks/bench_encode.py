@@ -85,6 +85,19 @@ def main():
               f"(dense kernel, ilp=2)", flush=True)
         rows.append({"variant": variant.name, "prob_bits": pb,
                      "encode_kernel_gbs": round(gbs, 3)})
+        if variant == Variant.ALIAS:
+            # r4 A/B: per-symbol seeded bisect (pack_alias_seed) vs the
+            # hoisted-constant cascade (VERDICT r3 task 5)
+            tabs3 = byte_tpu.enc_tables(cfg, freqs, cum, seed_bisect=True)
+            if len(tabs3) == 3:
+                fn_sd = lambda s, _t=tabs3: byte_tpu.encode_blocks(
+                    _t, s, T4=T4, R=R, sb=pb, n_blocks=NB, alias=True,
+                    ilp=2, seed_bisect=True)[1]
+                gbs_sd = slope(fn_sd, spk)
+                print(f"ALIAS  pb={pb:2d} encode {gbs_sd:6.2f} GB/s "
+                      f"(seeded bisect A/B)", flush=True)
+                rows.append({"variant": "ALIAS_seeded", "prob_bits": pb,
+                             "encode_kernel_gbs": round(gbs_sd, 3)})
 
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:

@@ -119,6 +119,13 @@ def build_alias_segments(freqs, cum_freqs, sb: int) -> np.ndarray:
     stride >= 4 sit in row 0 (one single-row gather per step), stride 2 in
     row 2, and only the final stride-1 step needs a two-row select.
     """
+    _, packed = _alias_segment_arrays(freqs, cum_freqs, sb)
+    return packed.reshape(128, 4).T.copy().view(np.int32)
+
+
+def _alias_segment_arrays(freqs, cum_freqs, sb: int):
+    """(starts[:n], flat packed[512]) for build_alias_segments and the
+    per-symbol bisect seeds."""
     tab = alias_mod.make_alias_tables(freqs, cum_freqs, sb)
     M = 1 << sb
     d = tab.alias_remap.astype(np.int64) - np.arange(M, dtype=np.int64)
@@ -134,8 +141,33 @@ def build_alias_segments(freqs, cum_freqs, sb: int) -> np.ndarray:
     st[n:] = starts[-1]
     dm[:n] = (deltas % M).astype(np.uint32)
     dm[n:] = dm[n - 1]
-    packed = (dm << 16) | st
-    return packed.reshape(128, 4).T.copy().view(np.int32)
+    return starts, (dm << 16) | st
+
+
+def pack_alias_seed(freqs, cum_freqs, sb: int) -> np.ndarray | None:
+    """Per-symbol bisect seeds for the ALIAS encoder (r4 A/B, VERDICT r3
+    task 5): the encoder knows the symbol, and symbol s's search keys
+    idx in [cum[s], cum[s+1]) land in a narrow band of segments, so a
+    256-entry seed bounds the bisect to 5 levels (16..1) with NO hoisted
+    select cascade.  Returns (4,128) int32 -- rows 0-1: lo4[sym] = (last
+    segment with start <= cum[s]) & ~3 (rounded down so stride >= 4
+    candidates keep the mod-4 row-0 property of build_alias_segments),
+    rows 2-3: the packed entry at lo4 (the running-best seed; its start
+    <= cum[s] <= idx keeps the search invariant).  None when some
+    symbol's band exceeds the depth-5 reach of 31 entries (callers fall
+    back to the hoisted-constant path)."""
+    starts, packed = _alias_segment_arrays(freqs, cum_freqs, sb)
+    cum = np.asarray(cum_freqs, np.int64)
+    lo0 = np.searchsorted(starts, cum[:256], "right") - 1
+    hi0 = np.searchsorted(starts, np.maximum(cum[1:257] - 1, 0),
+                          "right") - 1
+    lo4 = (lo0 & ~3).astype(np.int64)
+    if np.any(hi0 - lo4 > 31):
+        return None
+    rows = np.empty(512, np.uint32)
+    rows[:256] = lo4.astype(np.uint32)
+    rows[256:] = packed[lo4]
+    return rows.reshape(4, 128).view(np.int32)
 
 
 def _supports(cfg: RansConfig):
@@ -340,42 +372,56 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
 # ---------------------------------------------------------------------------
 
 def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
-                   ilp: int = 1, hoist_extra: int = 1):
+                   ilp: int = 1, hoist_extra: int = 1,
+                   seed_bisect: bool = False):
     """Reverse-walk encode emitting one (k<<16 | fwd0<<8 | fwd1) cell per
     (step, lane); <=2 renorm bytes per symbol (rans_byte.h:62-74)."""
     if alias:
-        fc_ref, sp_ref, in_ref, emit_ref, xout_ref = refs
+        if seed_bisect:
+            fc_ref, sp_ref, seed_ref, in_ref, emit_ref, xout_ref = refs
+        else:
+            fc_ref, sp_ref, in_ref, emit_ref, xout_ref = refs
         sp = sp_ref[:]
         # mod-4 interleaved segment rows (build_alias_segments): pre-
         # broadcast each so bisect steps are one take_along_axis each
         sp_row = [jnp.broadcast_to(sp[r:r + 1, :], (R, 128))
                   for r in range(4)]
 
-        # loop-invariant first-level search keys: entry 0 (the ebest
-        # init) and the constant candidate sets of strides 256 ({256}),
-        # 128 ({128,384}) and 64 ({64,192,320,448}) -- all row 0 of the
-        # mod-4 interleave.  Hoisted out of the symbol loop; those three
-        # levels then resolve with selects instead of gathers.
-        def _g0(entry):
-            col = jnp.full((R, 128), entry >> 2, jnp.int32)
-            return jnp.take_along_axis(sp_row[0], col, axis=1)
+        if seed_bisect:
+            # per-symbol bisect seeds (pack_alias_seed): the whole
+            # hoisted-constant cascade below is subsumed by two
+            # independent-of-x seed gathers per symbol
+            seed = seed_ref[:]
+            seed_lo, seed_e = seed[0:2], seed[2:4]
+        else:
+            # loop-invariant first-level search keys: entry 0 (the ebest
+            # init) and the constant candidate sets of strides 256
+            # ({256}), 128 ({128,384}) and 64 ({64,192,320,448}) -- all
+            # row 0 of the mod-4 interleave.  Hoisted out of the symbol
+            # loop; those three levels then resolve with selects instead
+            # of gathers.
+            def _g0(entry):
+                col = jnp.full((R, 128), entry >> 2, jnp.int32)
+                return jnp.take_along_axis(sp_row[0], col, axis=1)
 
-        sE0 = _g0(0)
-        s256 = _g0(256)
-        s128, s384 = _g0(128), _g0(384)
-        s64, s192, s320, s448 = _g0(64), _g0(192), _g0(320), _g0(448)
-        # level-1 compare key with the & 0xFFFF pre-applied (the deeper
-        # levels' keys come out of selects, where an AND costs the same)
-        s256k = s256 & 0xFFFF
-        # hoist_extra >= 1: the stride-32 candidates are 8 more
-        # constants; a 7-select tree in the loop replaces that level's
-        # gather (r3 A/B; 1 is the measured default)
-        if hoist_extra >= 1:
-            s32c = [_g0(32 + 64 * i) for i in range(8)]
-        # hoist_extra >= 2: one level further (16 constants, 15-select
-        # tree); A/B hook -- vreg pressure vs one more dependent gather
-        if hoist_extra >= 2:
-            s16c = [_g0(16 + 32 * i) for i in range(16)]
+            sE0 = _g0(0)
+            s256 = _g0(256)
+            s128, s384 = _g0(128), _g0(384)
+            s64, s192, s320, s448 = _g0(64), _g0(192), _g0(320), _g0(448)
+            # level-1 compare key with the & 0xFFFF pre-applied (the
+            # deeper levels' keys come out of selects, where an AND costs
+            # the same)
+            s256k = s256 & 0xFFFF
+            # hoist_extra >= 1: the stride-32 candidates are 8 more
+            # constants; a 7-select tree in the loop replaces that
+            # level's gather (r3 A/B; 1 is the measured default)
+            if hoist_extra >= 1:
+                s32c = [_g0(32 + 64 * i) for i in range(8)]
+            # hoist_extra >= 2: one level further (16 constants,
+            # 15-select tree); A/B hook -- vreg pressure vs one more
+            # dependent gather
+            if hoist_extra >= 2:
+                s16c = [_g0(16 + 32 * i) for i in range(16)]
     else:
         fc_ref, in_ref, emit_ref, xout_ref = refs
     fc = fc_ref[:]
@@ -410,6 +456,35 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
             # SLOWER, 12.5 vs ~16 GB/s: the VPU is gather-throughput-
             # bound here, not depth-bound.)
             idx = r + start
+            if seed_bisect:
+                # seeded depth-5 search over [lo4[sym], lo4[sym]+31]:
+                # both seed gathers depend only on sym (off the critical
+                # x chain); strides 16/8/4 clamp to 508 to stay in-range
+                # AND congruent 0 mod 4 (row 0 of the interleave)
+                lo = lanes.table_lookup(seed_lo, sym, 2, (R, 128))
+                ebest = lanes.table_lookup(seed_e, sym, 2, (R, 128))
+                for step in (16, 8, 4):
+                    cand = jnp.minimum(lo + step, 508)
+                    ev = jnp.take_along_axis(sp_row[0], lanes.srl(cand, 2),
+                                             axis=1)
+                    acc = (ev & 0xFFFF) <= idx
+                    lo = jnp.where(acc, cand, lo)
+                    ebest = jnp.where(acc, ev, ebest)
+                cand = lo + 2                       # lo = 0 mod 4 -> row 2
+                ev = jnp.take_along_axis(sp_row[2], lanes.srl(cand, 2),
+                                         axis=1)
+                acc = (ev & 0xFFFF) <= idx
+                lo = jnp.where(acc, cand, lo)
+                ebest = jnp.where(acc, ev, ebest)
+                cand = lo + 1                       # rows 1/3 by parity
+                col = lanes.srl(cand, 2)
+                v1 = jnp.take_along_axis(sp_row[1], col, axis=1)
+                v3 = jnp.take_along_axis(sp_row[3], col, axis=1)
+                ev = jnp.where((cand & 2) != 0, v3, v1)
+                acc = (ev & 0xFFFF) <= idx
+                ebest = jnp.where(acc, ev, ebest)
+                slot = (idx + lanes.srl(ebest, 16)) & ((1 << sb) - 1)
+                return (q << sb) | slot
             # hoisted levels 256/128/64: selects over the precomputed
             # constant keys (start fields pre-ANDed above), no gathers
             a1 = s256k <= idx
@@ -488,11 +563,13 @@ def _encode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "n_blocks",
                                              "alias", "interpret", "ilp",
-                                             "hoist_extra"))
+                                             "hoist_extra", "seed_bisect"))
 def encode_blocks(tables, syms_packed, *, T4: int, R: int, sb: int,
                   n_blocks: int, alias: bool, interpret: bool = False,
-                  ilp: int = 1, hoist_extra: int = 1):
-    """Grid dense encode.  tables: (fc,) or (fc, seg_packed).
+                  ilp: int = 1, hoist_extra: int = 1,
+                  seed_bisect: bool = False):
+    """Grid dense encode.  tables: (fc,), (fc, seg_packed) or
+    (fc, seg_packed, seed) with seed_bisect=True (pack_alias_seed A/B).
     Returns (emit cells (n_blocks*4*T4*R,128) i32, states (n_blocks*R,128))."""
     if not interpret and R < 2:
         raise ValueError("compiled TPU encode needs n_lanes >= 256")
@@ -500,13 +577,16 @@ def encode_blocks(tables, syms_packed, *, T4: int, R: int, sb: int,
         raise ValueError(f"n_blocks={n_blocks} not divisible by ilp={ilp}")
     if hoist_extra not in (0, 1, 2):
         raise ValueError(f"hoist_extra={hoist_extra} not in 0..2")
+    if seed_bisect and (not alias or len(tables) != 3):
+        raise ValueError("seed_bisect needs alias tables (fc, seg, seed)")
     tab_specs = [
         pl.BlockSpec(t.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
         for t in tables
     ]
     return pl.pallas_call(
         functools.partial(_encode_kernel, T4=T4, R=R, sb=sb, alias=alias,
-                          ilp=ilp, hoist_extra=hoist_extra),
+                          ilp=ilp, hoist_extra=hoist_extra,
+                          seed_bisect=seed_bisect),
         grid=(n_blocks // ilp,),
         out_shape=(
             jax.ShapeDtypeStruct((n_blocks * 4 * T4 * R, 128), jnp.int32),
@@ -619,16 +699,20 @@ def dec_tables(cfg: RansConfig, freqs, cum_freqs):
     return (jnp.asarray(sym4), jnp.asarray(fc))
 
 
-def enc_tables(cfg: RansConfig, freqs, cum_freqs):
+def enc_tables(cfg: RansConfig, freqs, cum_freqs, seed_bisect: bool = False):
     fc = jnp.asarray(pack_enc_tables(freqs, cum_freqs))
     if cfg.variant == Variant.ALIAS:
         sp = build_alias_segments(freqs, cum_freqs, cfg.prob_bits)
+        if seed_bisect:
+            seed = pack_alias_seed(freqs, cum_freqs, cfg.prob_bits)
+            if seed is not None:
+                return (fc, jnp.asarray(sp), jnp.asarray(seed))
         return (fc, jnp.asarray(sp))
     return (fc,)
 
 
 def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
-           interpret: bool | None = None):
+           interpret: bool | None = None, seed_bisect: bool = False):
     """Encode on TPU -> (list of per-block uint8 arrays, padded size)."""
     _supports(cfg)
     if interpret is None:
@@ -638,7 +722,8 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
     N = cfg.n_lanes
     alias = cfg.variant == Variant.ALIAS
     padded, _ = word_tpu.pad_block(np.asarray(data, np.uint8), N, freqs)
-    tables = enc_tables(cfg, freqs, cum_freqs)
+    tables = enc_tables(cfg, freqs, cum_freqs, seed_bisect=seed_bisect)
+    seeded = len(tables) == 3  # pack_alias_seed may decline (wide bands)
     n_full, tail = _split_blocks(cfg, padded.size)
 
     out_blocks: list[np.ndarray] = []
@@ -649,7 +734,7 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
         spk = word_tpu.pack_symbols(jnp.asarray(chunk), T4, R, n_blocks)
         emit, xf = encode_blocks(tables, spk, T4=T4, R=R, sb=cfg.prob_bits,
                                  n_blocks=n_blocks, alias=alias,
-                                 interpret=interpret,
+                                 interpret=interpret, seed_bisect=seeded,
                                  ilp=host_prep.pick_ilp(n_blocks, 5 * T * N))
         cap = 2 * T * N  # <=2 bytes per symbol
         buf, n_bytes = compact_emissions(emit, xf, cap, n_blocks)

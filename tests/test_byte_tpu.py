@@ -42,6 +42,46 @@ def test_tpu_encode_matches_oracle(book1_head, variant, size):
         off += chunk.size
 
 
+@pytest.mark.parametrize("sb", [9, 12, 16])
+@pytest.mark.parametrize("size", [2048, 17000])
+def test_alias_seed_bisect_matches_standard(book1_head, sb, size):
+    """The seeded encoder (pack_alias_seed, r4 A/B: per-symbol lo4 bounds
+    the segment bisect to 5 levels) must emit streams byte-identical to
+    the hoisted-constant path."""
+    cfg = RansConfig(variant=Variant.ALIAS, prob_bits=sb, n_lanes=128,
+                     lanes_per_stream=128, block_symbols=1 << 13)
+    data = book1_head[:size]
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+    assert byte_tpu.pack_alias_seed(freqs, cum, sb) is not None
+    std, n1 = byte_tpu.encode(cfg, data, freqs, cum, interpret=True)
+    seeded, n2 = byte_tpu.encode(cfg, data, freqs, cum, interpret=True,
+                                 seed_bisect=True)
+    assert n1 == n2 and len(std) == len(seeded)
+    for a, b in zip(std, seeded):
+        assert np.array_equal(a, b)
+
+
+def test_alias_seed_declines_wide_bands():
+    """A model whose dominant symbol spans more segments than the depth-5
+    reach makes pack_alias_seed return None, and encode() falls back to
+    the standard path (still byte-identical round-trip)."""
+    rng = np.random.default_rng(7)
+    # one symbol at ~97%: it is the alias donor in most buckets, so its
+    # band of segments far exceeds 31
+    data = np.where(rng.random(20000) < 0.97, 65,
+                    rng.integers(0, 256, 20000)).astype(np.uint8)
+    freqs, cum = stats.build_model(data, 16)
+    if byte_tpu.pack_alias_seed(freqs, cum, 16) is not None:
+        pytest.skip("model unexpectedly seedable; fallback path untested")
+    cfg = RansConfig(variant=Variant.ALIAS, prob_bits=16, n_lanes=128,
+                     lanes_per_stream=128, block_symbols=1 << 13)
+    std, _ = byte_tpu.encode(cfg, data, freqs, cum, interpret=True)
+    fb, _ = byte_tpu.encode(cfg, data, freqs, cum, interpret=True,
+                            seed_bisect=True)  # declines -> standard
+    for a, b in zip(std, fb):
+        assert np.array_equal(a, b)
+
+
 @pytest.mark.parametrize("variant", [Variant.BYTE, Variant.ALIAS])
 @pytest.mark.parametrize("size", [2048, 9000, 20000])
 def test_tpu_decode_roundtrip(book1_head, variant, size):
