@@ -89,3 +89,61 @@ def test_auto_config_adapts_to_size():
     assert big.variant == Variant.ALIAS and big.prob_bits == 16
     # an explicit variant is never overridden
     assert RansConfig.auto(33 << 20, Variant.WORD).variant == Variant.WORD
+
+
+def test_perf_table_numbers_match_committed_artifacts():
+    """Every throughput number in the README's measured-performance table
+    must be quoted from the committed artifact its row cites (VERDICT r3
+    task 7: no claim/artifact drift)."""
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    readme = (root / "README.md").read_text()
+
+    table = re.findall(
+        r"^\| (ALIAS|WORD|BYTE|RANS64)[^|]*\|[^|]*\| ([^|]+)\|([^|]+)\|"
+        r"[^|]*\|[^|]*\| ([^|]+)\|$",
+        readme, re.M)
+    assert len(table) == 4, "README perf table shape changed"
+
+    for variant, dec_cell, enc_cell, artifact_cell in table:
+        arts = [a.strip() for a in artifact_cell.split(",")]
+        var_rows = {"decode": [], "encode": []}
+        for a in arts:
+            data = json.loads((root / a).read_text())
+            for row in data["rows"]:
+                if row["variant"] != variant:
+                    continue
+                if "decode_gbs" in row:
+                    var_rows["decode"].append(row["decode_gbs"])
+                if "encode_kernel_gbs" in row:
+                    var_rows["encode"].append(row["encode_kernel_gbs"])
+        dec_quoted = [float(x) for x in re.findall(r"\d+\.\d+", dec_cell)]
+        enc_quoted = [float(x) for x in re.findall(r"\d+\.\d+", enc_cell)]
+        assert var_rows["decode"] and var_rows["encode"], (variant, arts)
+        for q in dec_quoted:
+            assert any(abs(q - round(v, 1)) < 0.051 for v in
+                       var_rows["decode"]), \
+                (variant, q, "decode not in artifact", var_rows["decode"])
+        for q in enc_quoted:
+            assert any(abs(q - round(v, 1)) < 0.051 for v in
+                       var_rows["encode"]), \
+                (variant, q, "encode not in artifact", var_rows["encode"])
+
+
+def test_readme_ratio_matches_ratio_artifact():
+    """The README's headline bits/byte figure must equal the committed
+    RATIO artifact captured through the real api.compress front door."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    readme = (root / "README.md").read_text()
+    rows = json.loads((root / "RATIO_r04.json").read_text())["rows"]
+    alias = next(r for r in rows
+                 if r["variant"] == "ALIAS" and r["prob_bits"] == 16)
+    assert f"{alias['bits_per_byte']:.4f}" in readme
+    # and the ~1.2%-over-reference claim is the artifact's ratio
+    assert abs(alias["ratio_vs_reference"] - 1.012) < 0.0005
