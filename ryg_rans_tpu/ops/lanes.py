@@ -323,13 +323,19 @@ def _u32_to_f32(x):
     return jnp.where(neg, base + jnp.float32(2147483648.0), base)
 
 
-def mul_u32_u64(a, b_hi, b_lo):
-    """(a * (b_hi, b_lo)) mod 2^64 for a 32-bit unsigned a and a 64-bit
-    (hi, lo) pair, exact 16-bit-limb schoolbook.
+def mul_u32_u64(a, b_hi, b_lo, d=None):
+    """(a * (b_hi, b_lo) + d) mod 2^64 for a 32-bit unsigned a, a 64-bit
+    (hi, lo) pair and an optional 32-bit unsigned addend d, exact
+    16-bit-limb schoolbook.
 
     Every column accumulates at most 3 sixteen-bit parts plus a carry
-    < 2^19, so all intermediates stay exact in int32 (the same discipline
-    as mulhi32).  Returns (hi, lo) int32 lanes of the low 64 bits.
+    < 2^19 (d adds one more part: still < 2^19), so all intermediates stay
+    exact in int32 (the same discipline as mulhi32).  Folding d here costs
+    two in-column adds and replaces the caller's 64-bit add-with-carry
+    (compare + select + two adds) -- the rans64 decode advance's
+    ``+ (slot - cum)`` and the reciprocal encode's ``+ bias`` ride the
+    product for free (r4; rans64.h:133, rans64.h:277 do the same fold in
+    scalar u64).  Returns (hi, lo) int32 lanes of the low 64 bits.
     """
     a0 = a & 0xFFFF
     a1 = srl(a, 16)
@@ -342,8 +348,13 @@ def mul_u32_u64(a, b_hi, b_lo):
     p02 = a0 * b2
     p10 = a1 * b0
     p11 = a1 * b1
+    if d is not None:
+        # p00 <= (2^16-1)^2 and d & 0xFFFF <= 2^16-1: sum < 2^32, exact
+        p00 = p00 + (d & 0xFFFF)
     c0 = p00 & 0xFFFF
     s1 = srl(p00, 16) + (p01 & 0xFFFF) + (p10 & 0xFFFF)
+    if d is not None:
+        s1 = s1 + srl(d, 16)
     c1 = s1 & 0xFFFF
     s2 = srl(s1, 16) + srl(p01, 16) + srl(p10, 16) \
         + (p02 & 0xFFFF) + (p11 & 0xFFFF)

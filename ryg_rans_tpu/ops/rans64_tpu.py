@@ -199,10 +199,9 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
         y_hi = lanes.srl(hi, sb)
         d = slot - cumv
         if wide:
-            hi, lo = lanes.mul_u32_u64(freq, y_hi, y_lo)
-            s = lo + d
-            hi = hi + jnp.where(lanes.ugt(lo, s), 1, 0)
-            lo = s
+            # d in [0, freq) < 2^31 folds into the limb product's low
+            # columns (lanes.mul_u32_u64) -- no 64-bit carry-add (r4)
+            hi, lo = lanes.mul_u32_u64(freq, y_hi, y_lo, d)
         else:
             hi, lo = _mul_u16_u64(freq, y_hi, y_lo, d)
         spk = spk | (sym << (8 * k))
@@ -343,11 +342,10 @@ def _encode_kernel(fc_ref, in_ref, emitw_ref, emitv_ref, xlo_ref, xhi_ref,
         hi = jnp.where(m, 0, hi)
         q_hi, q_lo = lanes.mulhi64(hi, lo, rcp_hi, rcp_lo)
         q_hi, q_lo = lanes.srl64(q_hi, q_lo, shv)  # rcp_shift <= 30
-        p_hi, p_lo = lanes.mul_u32_u64(cmpl, q_hi, q_lo)
-        hi, lo = lanes.add64(hi, lo, p_hi, p_lo)
-        s = lo + bias
-        hi = hi + lanes.ugt(lo, s).astype(jnp.int32)
-        return hi, s
+        # bias < 2^31 folds into q*cmpl_freq's low limb columns (r4):
+        # x += bias + q*cmpl_freq (rans64.h:277) in ONE 64-bit add
+        p_hi, p_lo = lanes.mul_u32_u64(cmpl, q_hi, q_lo, bias)
+        return lanes.add64(hi, lo, p_hi, p_lo)
 
     substep = substep_recip if recip else substep_div
 
