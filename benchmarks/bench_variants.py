@@ -115,10 +115,12 @@ def main():
             x0lo, x0hi, st = rans64_tpu.prep_decode(
                 jnp.asarray(buf.view(np.int32)), R, cap, NB)
             T4 = BS // N // 4
-            # ilp=3 for RANS64: its longer limb chain gains ~5% (r3)
+            # deeper block-ILP for RANS64: its longer limb chain keeps
+            # gaining past 2 (r3: ilp=3 +5%; r4 AB_BISECT: ilp=4 10.05
+            # vs 9.90 GB/s at pb14 with the signed-compare bisect)
             fn = lambda x0s, st, _pb=pb, _cap=cap: rans64_tpu.decode_blocks(
                 *tabs, x0s[0], x0s[1], st, T4=T4, R=R, sb=_pb, cap_rows=_cap,
-                n_blocks=NB, ilp=3)
+                n_blocks=NB, ilp=4 if NB % 4 == 0 else 3)
             x0s = (x0lo, x0hi)
 
         # correctness gate

@@ -206,7 +206,7 @@ def decode_cap_rows(max_bytes: int, R: int) -> int:
 
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
-                   ilp: int = 1):
+                   ilp: int = 1, hoist4: bool = False):
     """Decode one block: 4*T4 steps over (R,128) lanes, 8-bit renorm."""
     if alias:
         div_ref, pa_ref, adj_ref, x0_ref, stream4_ref, out_ref = refs
@@ -228,7 +228,8 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
     WMAX = wmax_rows(R)
     cap_rows = stream4_ref.shape[0] // ilp
     # loop-invariant first-level bisect keys (lanes.bisect_consts)
-    bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=(sb <= 15)) \
+    bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=(sb <= 15),
+                                  levels=4 if hoist4 else 3) \
         if (not alias and _use_bisect(sb)) else None
 
     def substep(x, base, spk, k, woff):
@@ -329,10 +330,11 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "alias", "interpret",
-                                             "ilp"))
+                                             "ilp", "hoist4"))
 def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
                   cap_rows: int, n_blocks: int, alias: bool,
-                  interpret: bool = False, ilp: int = 1):
+                  interpret: bool = False, ilp: int = 1,
+                  hoist4: bool = False):
     """Grid decode of n_blocks blocks.
 
     tables: (sym4, fc) for BYTE or (div, pa, adj) for ALIAS; x0
@@ -349,7 +351,7 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
     ]
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, alias=alias,
-                          ilp=ilp),
+                          ilp=ilp, hoist4=hoist4),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [

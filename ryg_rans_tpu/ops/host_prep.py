@@ -83,10 +83,16 @@ def pack_wide_fc(freqs, cum_freqs) -> np.ndarray:
     int32 with rows 0-1 = freq-1, rows 2-3 = cum, rows 4-5 = cum[s+1] (the
     bisect keys, parity-interleaved like pack_sym4_fc's) -- every field a
     full u32, since freq/cum exceed any 16-bit packed field beyond
-    prob_bits 16 (rans64.h allows 31)."""
+    prob_bits 16 (rans64.h allows 31).
+
+    The key rows are stored XOR-BIASED (key ^ 2^31): cum[s+1] reaches
+    2^31 exactly at prob_bits 31, and pre-biasing lets the search run on
+    plain signed compares with one probe-side xor per lookup
+    (lanes.cum2sym_bisect_track) instead of two xors per level."""
     f = np.maximum(np.asarray(freqs, np.uint32), 1) - 1
     c = np.asarray(cum_freqs[:256], np.uint32)
-    cn = np.asarray(cum_freqs[1:257], np.uint32).reshape(128, 2).T
+    cn = (np.asarray(cum_freqs[1:257], np.uint32)
+          ^ np.uint32(0x80000000)).reshape(128, 2).T
     return np.concatenate(
         [f, c, cn.reshape(-1)]).view(np.int32).reshape(6, 128)
 

@@ -100,33 +100,60 @@ def cum2sym_bisect(cn_rows, slot, shape, consts=None):
     (row 0) -- so each step is ONE single-row take_along_axis instead of
     a two-row sweep-and-select.
 
+    Compares are plain SIGNED int32 (r4): every caller's keys and probe
+    values are provably < 2^31 (cum[s+1] <= 2^16 here; fused keys
+    < 2^31 at sb <= 15; the wide RANS64 tables are pre-xor-biased by
+    pack_wide_fc and searched via cum2sym_bisect_track, which biases the
+    probe to match), so the xor-bias unsigned-compare trick costs ~16
+    elementwise ops per lookup for nothing.
+
     The first three levels probe entries from tiny CONSTANT sets ({127},
     {63,191}, {31,95,159,223}); their keys are loop-invariant, so decode
     kernels hoist them out of the hot loop via ``bisect_consts`` and
     resolve each level with selects instead of gathers -- 5 in-loop
-    gathers per lookup instead of 8.  Beats sweeping the packed cum2sym
-    slot table when that table exceeds ~16 rows (prob_bits >= 14); below
-    that the direct sweep wins (see byte_tpu/rans64_tpu call sites).
+    gathers per lookup instead of 8 (4 with ``bisect_consts(levels=4)``,
+    which also hoists the stride-16 level's 8 candidates).  Beats
+    sweeping the packed cum2sym slot table when that table exceeds ~16
+    rows (prob_bits >= 14); below that the direct sweep wins (see
+    byte_tpu/rans64_tpu call sites).
     """
     row0 = jnp.broadcast_to(cn_rows[0:1], shape)
     row1 = jnp.broadcast_to(cn_rows[1:2], shape)
     if consts is None:
         consts = bisect_consts(cn_rows, shape)
-    k127, k63, k191, k31, k95, k159, k223 = consts
-    a1 = uge(slot, k127)
+    k127, k63, k191, k31, k95, k159, k223 = consts[:7]
+    a1 = slot >= k127
     lo = jnp.where(a1, 128, 0)
     ev = jnp.where(a1, k191, k63)            # entry lo + 63
-    a2 = uge(slot, ev)
+    a2 = slot >= ev
     lo = lo + jnp.where(a2, 64, 0)
     ev = jnp.where(a1, jnp.where(a2, k223, k159),
                    jnp.where(a2, k95, k31))  # entry lo + 31
-    lo = lo + jnp.where(uge(slot, ev), 32, 0)
-    for step in (16, 8, 4, 2):
+    a3 = slot >= ev
+    lo = lo + jnp.where(a3, 32, 0)
+    steps = (16, 8, 4, 2)
+    if len(consts) == 15:  # stride-16 level hoisted (bisect_consts levels=4)
+        ev = _level4_select(a1, a2, a3, consts[7:])
+        lo = lo + jnp.where(slot >= ev, 16, 0)
+        steps = (8, 4, 2)
+    for step in steps:
         e = lo + (step - 1)  # odd entry -> row 1
         cv = jnp.take_along_axis(row1, srl(e, 1), axis=1)
-        lo = jnp.where(uge(slot, cv), lo + step, lo)
+        lo = jnp.where(slot >= cv, lo + step, lo)
     cv = jnp.take_along_axis(row0, srl(lo, 1), axis=1)  # even entry lo
-    return jnp.where(uge(slot, cv), lo + 1, lo)
+    return jnp.where(slot >= cv, lo + 1, lo)
+
+
+def _level4_select(a1, a2, a3, ks):
+    """Entry lo + 15 for lo = 128*a1 + 64*a2 + 32*a3: a 7-select tree over
+    the 8 hoisted stride-16 keys (entries 15, 47, ..., 239)."""
+    k15, k47, k79, k111, k143, k175, k207, k239 = ks
+    return jnp.where(
+        a1,
+        jnp.where(a2, jnp.where(a3, k239, k207),
+                  jnp.where(a3, k175, k143)),
+        jnp.where(a2, jnp.where(a3, k111, k79),
+                  jnp.where(a3, k47, k15)))
 
 
 def cum2sym_bisect_fused(cn_rows, slot, sb: int, shape, consts=None):
@@ -159,8 +186,16 @@ def cum2sym_bisect_track(cn_rows, slot, shape, consts=None):
     decode advance needs (freq, cum[sym]); with cum[sym+1] tracked free,
     one freq gather + ``cum[sym] = cum[sym+1] - freq`` replaces the
     separate cum table lookup.
+
+    cum[s+1] reaches 2^31 exactly at prob_bits 31, so pack_wide_fc
+    stores the key rows xor-biased (key ^ 2^31); biasing the probe the
+    same way turns the search's signed compares into exact unsigned
+    order (the reference's own SSE trick, rans_word_sse41.h:210-216) at
+    ONE xor per lookup instead of two per level (r4).  The tracked
+    entry comes back biased and is un-biased here.
     """
-    return _bisect_core(cn_rows, slot, shape, consts)
+    sym, eab = _bisect_core(cn_rows, slot ^ I32_MIN, shape, consts)
+    return sym, eab ^ I32_MIN
 
 
 def _bisect_core(cn_rows, t, shape, consts):
@@ -169,44 +204,57 @@ def _bisect_core(cn_rows, t, shape, consts):
     is entry[sym]: the search maintains sym in (lo, last_reject] and ends
     with last_reject == sym).  The all-accept path (sym = 255) never
     probes entry 255, so the reject tracker initializes to that key
-    (loop-invariant, in ``consts``).  Returns (sym, entry[sym])."""
+    (loop-invariant, in ``consts``).  Compares are plain SIGNED int32 --
+    callers guarantee key order under signed compare (fused keys < 2^31;
+    the wide path pre-biases keys and probe, cum2sym_bisect_track).
+    Returns (sym, entry[sym])."""
     row0 = jnp.broadcast_to(cn_rows[0:1], shape)
     row1 = jnp.broadcast_to(cn_rows[1:2], shape)
     if consts is None:
         consts = bisect_consts(cn_rows, shape, fused=True)
-    k127, k63, k191, k31, k95, k159, k223, k255 = consts
+    k127, k63, k191, k31, k95, k159, k223, k255 = consts[:8]
     eab = k255                               # last rejected probe's key
-    a1 = uge(t, k127)
+    a1 = t >= k127
     lo = jnp.where(a1, 128, 0)
     eab = jnp.where(a1, eab, k127)
     ev = jnp.where(a1, k191, k63)            # entry lo + 63
-    a2 = uge(t, ev)
+    a2 = t >= ev
     lo = lo + jnp.where(a2, 64, 0)
     eab = jnp.where(a2, eab, ev)
     ev = jnp.where(a1, jnp.where(a2, k223, k159),
                    jnp.where(a2, k95, k31))  # entry lo + 31
-    a3 = uge(t, ev)
+    a3 = t >= ev
     lo = lo + jnp.where(a3, 32, 0)
     eab = jnp.where(a3, eab, ev)
-    for step in (16, 8, 4, 2):
+    steps = (16, 8, 4, 2)
+    if len(consts) == 16:  # stride-16 level hoisted (bisect_consts levels=4)
+        ev = _level4_select(a1, a2, a3, consts[8:])
+        a4 = t >= ev
+        lo = lo + jnp.where(a4, 16, 0)
+        eab = jnp.where(a4, eab, ev)
+        steps = (8, 4, 2)
+    for step in steps:
         e = lo + (step - 1)  # odd entry -> row 1
         cv = jnp.take_along_axis(row1, srl(e, 1), axis=1)
-        acc = uge(t, cv)
+        acc = t >= cv
         lo = jnp.where(acc, lo + step, lo)
         eab = jnp.where(acc, eab, cv)
     cv = jnp.take_along_axis(row0, srl(lo, 1), axis=1)  # even entry lo
-    acc = uge(t, cv)
+    acc = t >= cv
     sym = jnp.where(acc, lo + 1, lo)
     eab = jnp.where(acc, eab, cv)
     return sym, eab
 
 
-def bisect_consts(cn_rows, shape, fused: bool = False):
+def bisect_consts(cn_rows, shape, fused: bool = False, levels: int = 3):
     """Loop-invariant keys for cum2sym_bisect's first three levels:
     entries (127), (63, 191), (31, 95, 159, 223) -- all odd, row 1 of the
     parity-interleaved layout; the fused variant also needs entry 255
-    (the reject-tracker init).  Compute ONCE per kernel invocation
-    (outside the symbol loop) and pass via ``consts=``."""
+    (the reject-tracker init).  ``levels=4`` additionally hoists the
+    stride-16 level's 8 candidates (entries 15, 47, ..., 239), trading
+    one dependent in-loop gather for a 7-select tree (A/B per kernel).
+    Compute ONCE per kernel invocation (outside the symbol loop) and
+    pass via ``consts=``."""
     row1 = jnp.broadcast_to(cn_rows[1:2], shape)
 
     def g(entry):
@@ -214,7 +262,11 @@ def bisect_consts(cn_rows, shape, fused: bool = False):
         return jnp.take_along_axis(row1, col, axis=1)
 
     base = (g(127), g(63), g(191), g(31), g(95), g(159), g(223))
-    return base + (g(255),) if fused else base
+    if fused:
+        base = base + (g(255),)
+    if levels >= 4:
+        base = base + tuple(g(15 + 32 * i) for i in range(8))
+    return base
 
 
 def lane_prefix_sum_rows(mask_f32, tri, R: int):

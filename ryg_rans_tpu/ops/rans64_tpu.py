@@ -137,7 +137,8 @@ def decode_cap_rows(max_words: int, R: int) -> int:
     return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8
 
 
-def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
+def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
+                   hoist4: bool = False):
     wide = sb > 16  # two-limb frequencies, full-width tables
     s4rows = 0 if wide else (1 << sb) // 512
     if wide or s4rows > 16:  # bisect path needs no cum2sym table in VMEM
@@ -152,11 +153,15 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
     M1 = lanes._as_i32((1 << sb) - 1)
     WMAX = wmax_rows(R)        # worst case: 1 word/lane -> R window rows
     cap_rows = stream_ref.shape[0] // ilp
-    # loop-invariant first-level bisect keys (lanes.bisect_consts)
+    # loop-invariant first-level bisect keys (lanes.bisect_consts);
+    # hoist4 also lifts the stride-16 level (8 keys, 7-select tree)
+    lv = 4 if hoist4 else 3
     if wide:
-        bconsts = lanes.bisect_consts(fc[4:6], (R, 128), fused=True)
+        bconsts = lanes.bisect_consts(fc[4:6], (R, 128), fused=True,
+                                      levels=lv)
     elif s4rows > 16:
-        bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=(sb <= 15))
+        bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=(sb <= 15),
+                                      levels=lv)
     else:
         bconsts = None
 
@@ -245,10 +250,12 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1):
 
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
-                                             "n_blocks", "interpret", "ilp"))
+                                             "n_blocks", "interpret", "ilp",
+                                             "hoist4"))
 def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
                   R: int, sb: int, cap_rows: int, n_blocks: int,
-                  interpret: bool = False, ilp: int = 1):
+                  interpret: bool = False, ilp: int = 1,
+                  hoist4: bool = False):
     """Grid decode.  stream_rows: (n_blocks*cap_rows, 128) raw u32 words."""
     if not interpret and R < 2:
         raise ValueError("compiled TPU decode needs n_lanes >= 256")
@@ -262,7 +269,8 @@ def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
     tab_args = [] if bisect else [sym4_rows]
     fc_shape = (6, 128) if sb > 16 else (4, 128)
     return pl.pallas_call(
-        functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, ilp=ilp),
+        functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, ilp=ilp,
+                          hoist4=hoist4),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [

@@ -114,7 +114,7 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
                    ilp: int = 1, use_bisect: bool | None = None,
-                   slot_direct: bool = False):
+                   slot_direct: bool = False, hoist4: bool = False):
     """Decode one block: 4*T4 steps over (R,128) lanes.
 
     Gather-count-optimized (see docs/DESIGN.md):
@@ -141,7 +141,8 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
     WMAX = wmax_rows(R)       # worst-case pair-rows a step can touch
     cap_rows = stream2_ref.shape[0] // ilp
     # loop-invariant first-level bisect keys (lanes.bisect_consts)
-    bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=True) \
+    bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=True,
+                                  levels=4 if hoist4 else 3) \
         if bisect else None
 
     def substep(x, base, spk, k, woff):
@@ -218,12 +219,12 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "interpret",
                                              "groups", "ilp", "use_bisect",
-                                             "slot_direct"))
+                                             "slot_direct", "hoist4"))
 def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
                   sb: int, cap_rows: int, n_blocks: int,
                   interpret: bool = False, groups: int = 1,
                   ilp: int = 1, use_bisect: bool | None = None,
-                  slot_direct: bool = False):
+                  slot_direct: bool = False, hoist4: bool = False):
     """Grid decode of ``n_blocks`` blocks.
 
     x0: (n_blocks*R, 128); stream2_rows: (n_blocks*cap_rows, 128) with renorm
@@ -247,7 +248,7 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, groups=groups,
                           ilp=ilp, use_bisect=use_bisect,
-                          slot_direct=slot_direct),
+                          slot_direct=slot_direct, hoist4=hoist4),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [

@@ -67,6 +67,14 @@ def test_fused_bisect_matches_plain_plus_fc(sb, style):
     assert np.array_equal(np.asarray(freq_f).ravel(), freq_t)
     assert np.array_equal(np.asarray(cum_f).ravel(), cum_t)
 
+    # hoist4 variant (stride-16 level as hoisted constants + select tree)
+    c4 = lanes.bisect_consts(fc[2:4], shape, fused=True, levels=4)
+    sym_4, freq_4, cum_4 = lanes.cum2sym_bisect_fused(fc[2:4], slot, sb,
+                                                      shape, consts=c4)
+    assert np.array_equal(np.asarray(sym_4).ravel(), sym_t)
+    assert np.array_equal(np.asarray(freq_4).ravel(), freq_t)
+    assert np.array_equal(np.asarray(cum_4).ravel(), cum_t)
+
 
 @pytest.mark.parametrize("sb", [20, 31])
 @pytest.mark.parametrize("style", ["sparse", "dominant"])
@@ -113,6 +121,13 @@ def test_track_bisect_wide_tables(sb, style):
     cn_t = cum[1:257][sym_t].astype(np.int64).astype(np.uint32)
     assert np.array_equal(np.asarray(cn).ravel().view(np.uint32), cn_t)
 
+    # hoist4 variant over the pre-biased wide keys
+    c4 = lanes.bisect_consts(fc[4:6], shape, fused=True, levels=4)
+    sym_4, cn_4 = lanes.cum2sym_bisect_track(fc[4:6], slot, shape,
+                                             consts=c4)
+    assert np.array_equal(np.asarray(sym_4).ravel(), sym_t)
+    assert np.array_equal(np.asarray(cn_4).ravel().view(np.uint32), cn_t)
+
 
 def test_pb16_keys_stay_plain_full_width():
     """At prob_bits 16 the fused form would need 33 bits, and the tempting
@@ -128,3 +143,23 @@ def test_pb16_keys_stay_plain_full_width():
     cn[0::2] = fc_rows[2].view(np.uint32)
     cn[1::2] = fc_rows[3].view(np.uint32)
     assert np.array_equal(cn, cum[1:257])
+
+    # the plain (non-fused) bisect over those keys stays exact at pb16,
+    # with and without the hoisted stride-16 level
+    import jax.numpy as jnp
+
+    fc = jnp.asarray(fc_rows)
+    shape = (128, 128)
+    # all cum boundaries +-1 first, then strided fill over [0, 2^16)
+    edges = np.unique(np.clip(np.concatenate(
+        [cum[1:257].astype(np.int64) - 1, cum[1:257], cum[1:257] + 1]),
+        0, (1 << 16) - 1)).astype(np.int64)
+    slots_np = np.arange(0, 1 << 16, 4, dtype=np.int64)
+    slots_np[:edges.size] = edges
+    slot = jnp.asarray(slots_np.astype(np.int32)).reshape(shape)
+    sym_t = np.searchsorted(cum[1:257], slots_np, side="right")
+    sym = lanes.cum2sym_bisect(fc[2:4], slot, shape)
+    assert np.array_equal(np.asarray(sym).ravel(), sym_t)
+    c4 = lanes.bisect_consts(fc[2:4], shape, levels=4)
+    sym_4 = lanes.cum2sym_bisect(fc[2:4], slot, shape, consts=c4)
+    assert np.array_equal(np.asarray(sym_4).ravel(), sym_t)
