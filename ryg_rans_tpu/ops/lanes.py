@@ -327,8 +327,10 @@ def _mono_candidates(window, row_rel, W: int, shape):
     oh0 = (iw == row_rel).astype(jnp.float32)
     oh1 = (iw == row_rel + 1).astype(jnp.float32)
     # HIGHEST precision: default MXU passes truncate inputs to bf16, which
-    # destroys 16-bit cell values; the one-hot side would survive but the
-    # window side must stay exact.
+    # destroys 16-bit cell values; the one-hot side alone would survive in
+    # bf16, but Mosaic supports neither per-operand dot precision nor
+    # mixed-dtype (bf16 x f32) dots (both raise at lowering -- r4), so
+    # HIGHEST on both sides is the floor for this fetch.
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
     a = dot(oh0, wlo).astype(jnp.int32) \

@@ -576,7 +576,7 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
                             n_blocks=n_blocks, interpret=interpret,
                             ilp=host_prep.pick_ilp(
                                 n_blocks, n_symbols_block + cap_rows * 512,
-                                prefer=(3, 2)))
+                                prefer=(4, 3, 2)))
         outs.append(np.asarray(word_tpu.unpack_symbols(spk, T4, R, n_blocks)))
 
     if n_full:
