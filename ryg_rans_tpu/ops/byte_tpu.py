@@ -71,7 +71,12 @@ def pack_alias_dec_tables(freqs, cum_freqs, sb: int):
                      exactly sym:8 | freq-1:16 | adj_lo:8, 32 bits total
                      (freq-1 keeps the degenerate freq = 2^16 exact; a
                      zero-slot half is never selected, so its clamp is
-                     harmless);
+                     harmless).  PARITY-SPLIT (r4): rows 0-1 hold the even
+                     entries (b2 = 2*bucket), rows 2-3 the odd -- the
+                     kernel gathers BOTH bucket halves by ``bucket`` in
+                     parallel with the divider fetch and selects after the
+                     compare, removing the divider->entry dependent-gather
+                     stage at the same total gather count;
       adjhi (1,128): slot_adjust >> 8 (8 bits each, 4-per-int32).
     """
     tab = alias_mod.make_alias_tables(freqs, cum_freqs, sb)
@@ -84,6 +89,7 @@ def pack_alias_dec_tables(freqs, cum_freqs, sb: int):
     # (slot - adj) & 0xFFFF.
     adj = tab.slot_adjust.astype(np.uint32) & 0xFFFF
     pa = ((adj & 0xFF) << 24) | (f1 << 8) | tab.sym_id
+    pa = np.concatenate([pa[0::2], pa[1::2]])  # even plane, then odd
     ah = adj >> 8
     adjhi = ah[0::4] | (ah[1::4] << 8) | (ah[2::4] << 16) | (ah[3::4] << 24)
     # divider stored bucket-RELATIVE (0..tgt_sum inclusive, <= 9 bits; the
@@ -237,21 +243,27 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         if alias:
             # O(1) alias lookup (RansDecGetAlias, main_alias.cpp:252-267)
             # in 6 gather rows: paired dividers, fused sym|freq-1|adj_lo
-            # entry, 4-packed adj_hi plane (pack_alias_dec_tables)
+            # entry, 4-packed adj_hi plane (pack_alias_dec_tables).
+            # ALL FOUR fetches index by bucket (or bucket>>1), so the
+            # divider word, adj_hi word and BOTH bucket-half entries
+            # (parity-split pa planes, r4) gather in parallel; the
+            # divider compare only picks between the two entries --
+            # no gather depends on another gather.
             bucket = lanes.srl(slot, sb - 8)
             bh = lanes.srl(bucket, 1)
-            # b2 >> 2 == bucket >> 1 for either compare outcome, so the
-            # adj_hi gather is independent of the divider compare and
-            # issues in parallel with it
             dw = lanes.row_gather(div, bh, (R, 128))
             aw = lanes.row_gather(adj, bh, (R, 128))
+            e0 = lanes.table_lookup(pa[0:2], bucket, 2, (R, 128))
+            e1 = lanes.table_lookup(pa[2:4], bucket, 2, (R, 128))
             dv = lanes.srl(dw, (bucket & 1) << 4) & 0xFFFF
             # dividers are bucket-relative (pack_alias_dec_tables):
             # compare the in-bucket slot
             sin = slot & ((1 << (sb - 8)) - 1)
-            b2 = 2 * bucket + (sin < dv).astype(jnp.int32)
-            e = lanes.table_lookup(pa, b2, 4, (R, 128))
-            av = ((lanes.srl(aw, (b2 & 3) << 3) & 0xFF) << 8) \
+            half = (sin < dv).astype(jnp.int32)  # b2 = 2*bucket + half
+            e = jnp.where(half == 1, e1, e0)
+            # (b2 & 3) << 3 with b2 = 2*bucket + half
+            sh = ((bucket & 1) << 4) | (half << 3)
+            av = ((lanes.srl(aw, sh) & 0xFF) << 8) \
                 | lanes.srl(e, 24)
             sym = e & 0xFF
             freq = (lanes.srl(e, 8) & 0xFFFF) + 1

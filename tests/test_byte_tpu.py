@@ -212,7 +212,8 @@ def test_alias_dec_table_pack_fields(book1_head):
     pa = pa.reshape(-1).view(np.uint32)
     adjhi = adjhi.reshape(-1).view(np.uint32)
     for b2 in range(512):
-        e = int(pa[b2])
+        # parity-split planes (r4): even entries first, then odd
+        e = int(pa[(b2 & 1) * 256 + (b2 >> 1)])
         ah = (int(adjhi[b2 >> 2]) >> ((b2 & 3) * 8)) & 0xFF
         adj = (ah << 8) | (e >> 24)
         # stored mod 2^16: the true adjust may be a wrapped negative or
