@@ -59,14 +59,22 @@ def main():
         b = min(run(28) for _ in range(5))
         return SYMS / ((b - a) / 24) / 1e9
 
-    # (variant, pb, ilp, hoist4)
-    cands = [
-        (Variant.RANS64, 14, 3, False), (Variant.RANS64, 14, 3, True),
-        (Variant.RANS64, 14, 4, False), (Variant.RANS64, 14, 4, True),
-        (Variant.RANS64, 31, 3, False), (Variant.RANS64, 31, 3, True),
-        (Variant.BYTE, 14, 2, False), (Variant.BYTE, 14, 2, True),
-        (Variant.WORD, 14, 2, True),
-    ]
+    # (variant, pb, ilp, hoist4); override via argv ints after out.json:
+    # `ab_bisect.py out.json ilp3` runs the block-ILP depth sweep instead
+    if "ilp3" in sys.argv:
+        cands = [
+            (Variant.WORD, 12, 2, False), (Variant.WORD, 12, 3, False),
+            (Variant.BYTE, 14, 2, False), (Variant.BYTE, 14, 3, False),
+            (Variant.RANS64, 31, 4, False),
+        ]
+    else:
+        cands = [
+            (Variant.RANS64, 14, 3, False), (Variant.RANS64, 14, 3, True),
+            (Variant.RANS64, 14, 4, False), (Variant.RANS64, 14, 4, True),
+            (Variant.RANS64, 31, 3, False), (Variant.RANS64, 31, 3, True),
+            (Variant.BYTE, 14, 2, False), (Variant.BYTE, 14, 2, True),
+            (Variant.WORD, 14, 2, True),
+        ]
     prepped = {}
     rows = []
     for variant, pb, ilp, hoist4 in cands:

@@ -97,9 +97,13 @@ def main():
             x0, st = byte_tpu.prep_decode(jnp.asarray(buf), R, cap, NB)
             T4 = BS // N // 4
             alias = variant == Variant.ALIAS
-            fn = lambda x0s, st, _t=tabs, _a=alias: byte_tpu.decode_blocks(
-                _t, x0s[0], st, T4=T4, R=R, sb=pb, cap_rows=cap,
-                n_blocks=NB, alias=_a, ilp=2)
+            # BYTE prefers ilp=3 with the r4 signed-compare kernels
+            # (0-4% across probes, never worse); ALIAS stays at 2
+            bilp = 2 if alias else (3 if NB % 3 == 0 else 2)
+            fn = lambda x0s, st, _t=tabs, _a=alias, _i=bilp: \
+                byte_tpu.decode_blocks(
+                    _t, x0s[0], st, T4=T4, R=R, sb=pb, cap_rows=cap,
+                    n_blocks=NB, alias=_a, ilp=_i)
             x0s = (x0,)
         else:
             s4, fc = rans64_tpu.pack_dec_tables(freqs, cum, pb)

@@ -791,12 +791,17 @@ def decode(cfg: RansConfig, byte_blocks: list[np.ndarray],
         for i, b in enumerate(blocks):
             buf[i, :b.size] = b.astype(np.int32)
         x0, stream4 = prep_decode(jnp.asarray(buf), R, cap_rows, n_blocks)
+        # BYTE's third independent block chain measured +4% in one
+        # same-process A/B (12.51 vs 12.07) and neutral in a full run
+        # (12.13) -- never worse, so prefer it; ALIAS measured
+        # neutral-to-worse at ilp 3/4 and stays at 2
         spk = decode_blocks(tables, x0, stream4, T4=T4, R=R,
                             sb=cfg.prob_bits, cap_rows=cap_rows,
                             n_blocks=n_blocks, alias=alias,
                             interpret=interpret,
                             ilp=host_prep.pick_ilp(
-                                n_blocks, n_symbols_block + cap_rows * 512))
+                                n_blocks, n_symbols_block + cap_rows * 512,
+                                prefer=(2,) if alias else (3, 2)))
         outs.append(np.asarray(word_tpu.unpack_symbols(spk, T4, R, n_blocks)))
 
     if n_full:

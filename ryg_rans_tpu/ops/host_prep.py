@@ -125,10 +125,11 @@ def pick_ilp(n_blocks: int, bytes_per_block: int,
              prefer: tuple = (2,)) -> int:
     """Block-ILP width (+25% decode at 2, docs/DESIGN.md) whose footprint
     still fits the scoped-VMEM budget.  ``prefer`` lists widths best-first:
-    RANS64 decode passes (3, 2) -- its longer limb-arithmetic dependency
-    chain gains another ~5% from a third independent chain (r3 measured
-    10.0 vs 9.6 GB/s at pb=14), where WORD/BYTE measured neutral-to-worse
-    beyond 2 (vreg pressure, r2 dead-end list)."""
+    RANS64 decode passes (4, 3, 2) -- its long limb-arithmetic dependency
+    chain keeps gaining (r4: 10.05 at ilp=4 vs 9.90 at 3, pb=14) -- and
+    BYTE decode passes (3, 2) (0-4% across r4 probes, never worse);
+    WORD and ALIAS measured neutral-to-worse beyond 2 (vreg pressure,
+    r2 dead-end list; r4 re-checks)."""
     for c in prefer:
         if n_blocks % c == 0 and 2 * c * bytes_per_block <= _ILP_BUDGET:
             return c
