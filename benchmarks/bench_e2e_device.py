@@ -15,8 +15,10 @@ main.cpp:169-186).
 Round-trip is byte-verified against the original input AND the original
 encode's compacted streams before any timing.
 
-Run: `python benchmarks/bench_e2e_device.py [out.json] [--tiny]`
-(--tiny: interpret-mode CPU validation of the pipeline logic only).
+Run: `python benchmarks/bench_e2e_device.py [out.json] [--tiny] [--pb N]`
+(--tiny: interpret-mode CPU validation of the pipeline logic only;
+--pb: WORD prob_bits, default 12 -- pb 11 halves the cum2sym gather rows,
+the same trade bench.py's headline probe uses).
 """
 
 import functools
@@ -32,7 +34,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     tiny = "--tiny" in sys.argv
-    out_path = next((a for a in sys.argv[1:] if not a.startswith("-")), None)
+    pb = int(sys.argv[sys.argv.index("--pb") + 1]) if "--pb" in sys.argv \
+        else 12
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if "--pb" in sys.argv:
+        args.remove(sys.argv[sys.argv.index("--pb") + 1])
+    out_path = args[0] if args else None
 
     import jax
     if tiny:
@@ -55,7 +62,6 @@ def main():
     N = R * 128
     SYMS = NB * BS
     T4 = BS // N // 4
-    pb = 12
     cfg = RansConfig(variant=Variant.WORD, prob_bits=pb, n_lanes=N,
                      block_symbols=BS)
     data = np.tile(book1, (SYMS // book1.size) + 1)[:SYMS]

@@ -133,6 +133,22 @@ def test_perf_table_numbers_match_committed_artifacts():
                 (variant, q, "encode not in artifact", var_rows["encode"])
 
 
+def test_readme_e2e_matches_device_artifact():
+    """The README's device-resident end-to-end figure must be quoted from
+    the committed E2E_DEVICE artifact (same no-drift rule as the table)."""
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    readme = (root / "README.md").read_text()
+    m = re.search(r"sustains \*\*(\d+\.\d+) GB/s\*\* \(E2E_DEVICE_r04",
+                  readme)
+    assert m, "README no longer quotes the device e2e figure"
+    art = json.loads((root / "E2E_DEVICE_r04.json").read_text())
+    assert abs(float(m.group(1)) - round(art["value"], 2)) < 0.005
+
+
 def test_readme_ratio_matches_ratio_artifact():
     """The README's headline bits/byte figure must equal the committed
     RATIO artifact captured through the real api.compress front door."""
