@@ -338,6 +338,18 @@ int64_t encode_stream_word_avx2(const Layout& L, int stream,
 // gathers cost more than div_pd (docs/DESIGN.md dead ends).
 // ---------------------------------------------------------------------------
 
+// Pack 8 symbol dwords to 8 output bytes in one store (replaces an
+// 8-iteration scalar store loop in the decode hot paths).
+static inline void store_syms8(uint8_t* o, __m256i sym) {
+  const __m256i shuf = _mm256_setr_epi8(
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1);
+  __m256i p = _mm256_shuffle_epi8(sym, shuf);
+  p = _mm256_permutevar8x32_epi32(
+      p, _mm256_setr_epi32(0, 4, 0, 0, 0, 0, 0, 0));
+  _mm_storel_epi64((__m128i*)o, _mm256_castsi256_si128(p));
+}
+
 static inline __m256i exclusive_prefix_sum_epi32(__m256i v) {
   // 3-step inclusive scan over 8 lanes (rotate + zero-blend), minus v
   const __m256i sh1 = _mm256_setr_epi32(7, 0, 1, 2, 3, 4, 5, 6);
@@ -521,14 +533,18 @@ void decode_stream(const Layout& L, int stream,
 //
 // Original vectorization of the interleaved-decode design the reference
 // realizes with SSE 4.1 intrinsics (rans_word_sse41.h:151-227): per-slot
-// symbol gather + fused (freq-1)<<16|cum gather (vpgatherdd), advance in
-// 32-bit lanes, and ORDERED stream consumption -- the k-th renorming lane
-// (lane-ascending) receives the k-th next stream word -- done here with a
-// movemask-indexed permutation LUT + popcount pointer bump instead of the
-// reference's shuffle-LUT byte tables.  Groups of 8 lanes run in lane
-// order within each step, so any lanes_per_stream % 8 == 0 layout keeps
-// the exact scalar/TPU stream contract (docs/FORMAT.md).  Valid for
-// prob_bits <= 15 (cum fits the fc low half; WORD's full range).
+// symbol gather + per-slot (freq-1)<<16|bias gather (vpgatherdd) -- two
+// INDEPENDENT slot-indexed lookups, the reference's own RansWordTables
+// unrolling (rans_word_sse41.h:58-72) rather than the chained
+// slot->sym->fc form (r4: chaining cost one full gather latency on the
+// critical path; slot-direct tables are 4*2^sb B extra and drop it) --
+// advance in 32-bit lanes, and ORDERED stream consumption -- the k-th
+// renorming lane (lane-ascending) receives the k-th next stream word --
+// done here with a movemask-indexed permutation LUT + popcount pointer
+// bump instead of the reference's shuffle-LUT byte tables.  Groups of 8
+// lanes run in lane order within each step, so any lanes_per_stream % 8
+// == 0 layout keeps the exact scalar/TPU stream contract
+// (docs/FORMAT.md).  Valid for prob_bits <= 15 (WORD's full range).
 // ---------------------------------------------------------------------------
 
 alignas(32) static int32_t g_perm_lut[256][8];
@@ -546,7 +562,7 @@ static const bool g_perm_ready = init_perm_lut();
 void decode_stream_word_avx2(const Layout& L, int stream,
                              const uint16_t* words, int64_t total_words,
                              int sb, const int32_t* c2s32,
-                             const int32_t* fc32, uint8_t* out) {
+                             const int32_t* slotfb32, uint8_t* out) {
   const int lpg = L.lpg;
   const int64_t lane_base = (int64_t)stream * lpg;
   const uint16_t* ptr = words;
@@ -575,14 +591,14 @@ void decode_stream_word_avx2(const Layout& L, int stream,
       __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
       const __m256i slot = _mm256_and_si256(vx, vmask);
       const __m256i sym = _mm256_i32gather_epi32(c2s32, slot, 4);
-      const __m256i e = _mm256_i32gather_epi32(fc32, sym, 4);
+      const __m256i fb = _mm256_i32gather_epi32(slotfb32, slot, 4);
       const __m256i freq = _mm256_add_epi32(
-          _mm256_srli_epi32(e, 16), _mm256_set1_epi32(1));
-      const __m256i cum = _mm256_and_si256(e, vlow16);
-      // x = freq * (x >> sb) + slot - cum   (rans_word_sse41.h:126)
+          _mm256_srli_epi32(fb, 16), _mm256_set1_epi32(1));
+      // x = freq * (x >> sb) + bias, bias = slot - cum baked per slot
+      // (rans_word_sse41.h:126; sym and fb gathers are independent)
       vx = _mm256_add_epi32(
           _mm256_mullo_epi32(freq, _mm256_srli_epi32(vx, sb)),
-          _mm256_sub_epi32(slot, cum));
+          _mm256_and_si256(fb, vlow16));
       // renorm: <=1 word/lane; lane-ascending word order via perm LUT
       const __m256i need =
           _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 16), vzero);
@@ -600,11 +616,7 @@ void decode_stream_word_avx2(const Layout& L, int stream,
         ptr += __builtin_popcount((unsigned)m);
       }
       _mm256_storeu_si256((__m256i*)&x[g0], vx);
-      // pack the 8 syms to bytes (out rows are lane-contiguous)
-      alignas(32) int32_t s8[8];
-      _mm256_store_si256((__m256i*)s8, sym);
-      uint8_t* o = out + row + g0;
-      for (int k = 0; k < 8; k++) o[k] = (uint8_t)s8[k];
+      store_syms8(out + row + g0, sym);
     }
   }
   // scalar tail: remaining steps + the final window where the 8-word
@@ -616,12 +628,11 @@ void decode_stream_word_avx2(const Layout& L, int stream,
       if (i >= L.n_symbols) continue;
       uint32_t st = x[g];
       const uint32_t slot = st & mask;
-      const int sy = c2s32[slot];
-      const uint32_t e = (uint32_t)fc32[sy];
-      st = ((e >> 16) + 1) * (st >> sb) + slot - (e & 0xFFFF);
+      const uint32_t fb = (uint32_t)slotfb32[slot];
+      st = ((fb >> 16) + 1) * (st >> sb) + (fb & 0xFFFF);
       if (st < (1u << 16)) st = (st << 16) | (uint32_t)(*ptr++);
       x[g] = st;
-      out[i] = (uint8_t)sy;
+      out[i] = (uint8_t)c2s32[slot];
     }
   }
 }
@@ -690,14 +701,9 @@ void decode_stream_byte_avx2(const Layout& L, int stream,
       vx = _mm256_blendv_epi8(
           x1, _mm256_or_si256(_mm256_slli_epi32(x1, 8), b1), lt15);
       // ptr += sum(k): last lane's off + k
-      alignas(32) int32_t offs[8], ks[8], s8[8];
-      _mm256_store_si256((__m256i*)offs, off);
-      _mm256_store_si256((__m256i*)ks, k);
-      ptr += offs[7] + ks[7];
+      ptr += _mm256_extract_epi32(off, 7) + _mm256_extract_epi32(k, 7);
       _mm256_storeu_si256((__m256i*)&x[g0], vx);
-      _mm256_store_si256((__m256i*)s8, sym);
-      uint8_t* o = out + row + g0;
-      for (int kk = 0; kk < 8; kk++) o[kk] = (uint8_t)s8[kk];
+      store_syms8(out + row + g0, sym);
     }
   }
   // scalar tail (same transition; two bounded renorm rounds)
@@ -716,33 +722,33 @@ void decode_stream_byte_avx2(const Layout& L, int stream,
 
 struct ByteLookupAvx2 {
   const int32_t* c2s32;
-  const int32_t* fc32;  // (freq-1)<<16 | cum  (exact to prob_bits 16)
+  const int32_t* slotfb32;  // per slot: (freq-1)<<16 | (slot - cum)
   int sb;
   uint32_t mask;
   void operator()(__m256i vx, __m256i* sym, __m256i* freq,
                   __m256i* bias) const {
+    // two INDEPENDENT slot-indexed gathers (r4; the old slot->sym->fc
+    // chain paid a second gather latency on the critical path); freq-1
+    // keeps the degenerate freq = 2^16 exact at prob_bits 16
     const __m256i slot = _mm256_and_si256(vx, _mm256_set1_epi32(mask));
     *sym = _mm256_i32gather_epi32(c2s32, slot, 4);
-    const __m256i e = _mm256_i32gather_epi32(fc32, *sym, 4);
-    *freq = _mm256_add_epi32(_mm256_srli_epi32(e, 16),
+    const __m256i fb = _mm256_i32gather_epi32(slotfb32, slot, 4);
+    *freq = _mm256_add_epi32(_mm256_srli_epi32(fb, 16),
                              _mm256_set1_epi32(1));
-    *bias = _mm256_sub_epi32(
-        slot, _mm256_and_si256(e, _mm256_set1_epi32(0xFFFF)));
+    *bias = _mm256_and_si256(fb, _mm256_set1_epi32(0xFFFF));
   }
   uint32_t scalar(uint32_t st, uint8_t* o) const {
     const uint32_t slot = st & mask;
-    const int sy = c2s32[slot];
-    const uint32_t e = (uint32_t)fc32[sy];
-    *o = (uint8_t)sy;
-    return ((e >> 16) + 1) * (st >> sb) + slot - (e & 0xFFFF);
+    const uint32_t fb = (uint32_t)slotfb32[slot];
+    *o = (uint8_t)c2s32[slot];
+    return ((fb >> 16) + 1) * (st >> sb) + (fb & 0xFFFF);
   }
 };
 
 struct AliasLookupAvx2 {
-  const int32_t* div32;   // [256] divider (absolute)
-  const int32_t* sym32;   // [512]
-  const int32_t* freq32;  // [512]
-  const int32_t* adj32;   // [512] slot_adjust (wrapped u32 in int lanes)
+  const int32_t* div32;  // [256] divider (absolute)
+  const int32_t* fs32;   // [512] (freq-1) << 8 | sym
+  const int32_t* adj32;  // [512] slot_adjust (wrapped u32 in int lanes)
   int sb;
   uint32_t mask;
   void operator()(__m256i vx, __m256i* sym, __m256i* freq,
@@ -754,23 +760,35 @@ struct AliasLookupAvx2 {
     const __m256i low = _mm256_cmpgt_epi32(dv, xm);
     const __m256i b2 = _mm256_sub_epi32(
         _mm256_slli_epi32(bucket, 1), low);  // 2*bucket (+1 if low)
-    *sym = _mm256_i32gather_epi32(sym32, b2, 4);
-    *freq = _mm256_i32gather_epi32(freq32, b2, 4);
+    // (freq-1, sym) fused into one dword entry (r4): 3 dword gathers per
+    // 8 lanes, was 4.  A qword-fused (fs<<32|adj) single entry measured
+    // 41% SLOWER here: two 4-element vpgatherqq + 4 cross-lane shuffles
+    // lose to wide 8-element vpgatherdd on this core (docs/DESIGN.md).
+    const __m256i fs = _mm256_i32gather_epi32(fs32, b2, 4);
+    *sym = _mm256_and_si256(fs, _mm256_set1_epi32(0xFF));
+    *freq = _mm256_add_epi32(_mm256_srli_epi32(fs, 8),
+                             _mm256_set1_epi32(1));
+    // 32-bit wrapped subtract is exact (slot_adjust may wrap negative)
     *bias = _mm256_sub_epi32(xm, _mm256_i32gather_epi32(adj32, b2, 4));
   }
   uint32_t scalar(uint32_t st, uint8_t* o) const {
     const uint32_t xm = st & mask;
     uint32_t b2 = (xm >> (sb - 8)) * 2;
     if (xm < (uint32_t)div32[b2 >> 1]) b2++;
-    *o = (uint8_t)sym32[b2];
-    return (uint32_t)freq32[b2] * (st >> sb) + xm - (uint32_t)adj32[b2];
+    const uint32_t fs = (uint32_t)fs32[b2];
+    *o = (uint8_t)(fs & 0xFF);
+    return ((fs >> 8) + 1) * (st >> sb) + xm - (uint32_t)adj32[b2];
   }
 };
 // ---------------------------------------------------------------------------
 // AVX2 4-lane decode for RANS64 (63-bit states, 32-bit renorm), pb <= 16.
 // One 32-bit word per renorming lane per step (x >= 1 so (x<<32)|w >= 2^32
 // > 2^31, rans64.h:134-139); same ordered-consumption LUT idea as the word
-// path, over 4 64-bit lanes.
+// path, over 4 64-bit lanes.  The whole symbol lookup is ONE vpgatherqq
+// of a per-slot 8-byte entry bias:16<<40 | sym:8<<32 | freq:32 (r4; was
+// two chained dword gathers slot->sym->fc): mul_epu32 reads freq straight
+// from the entry's low dword, the bias add replaces the slot-cum
+// subtract, and the dependent-gather stage disappears.
 // ---------------------------------------------------------------------------
 
 alignas(32) static int32_t g_perm_lut64[16][8];
@@ -790,8 +808,7 @@ static const bool g_perm64_ready = init_perm_lut64();
 
 void decode_stream_r64_avx2(const Layout& L, int stream,
                             const uint32_t* words, int64_t total_words,
-                            int sb, const int32_t* c2s32,
-                            const int32_t* fc32, uint8_t* out) {
+                            int sb, const long long* ent64, uint8_t* out) {
   const int lpg = L.lpg;
   const int64_t lane_base = (int64_t)stream * lpg;
   const uint32_t* ptr = words;
@@ -813,20 +830,15 @@ void decode_stream_r64_avx2(const Layout& L, int stream,
     for (int g0 = 0; g0 < lpg; g0 += 4) {
       __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
       const __m256i slot = _mm256_and_si256(vx, vmask);
-      const __m128i sym = _mm256_i64gather_epi32(c2s32, slot, 4);
-      const __m128i e = _mm_i32gather_epi32(fc32, sym, 4);
-      const __m128i f32 = _mm_add_epi32(_mm_srli_epi32(e, 16),
-                                        _mm_set1_epi32(1));
-      const __m128i cum = _mm_and_si128(e, _mm_set1_epi32(0xFFFF));
-      const __m256i f64 = _mm256_cvtepu32_epi64(f32);
-      const __m256i cum64 = _mm256_cvtepu32_epi64(cum);
+      const __m256i e = _mm256_i64gather_epi64(ent64, slot, 8);
       const __m256i y = _mm256_srli_epi64(vx, sb);
-      // x = freq * y + (slot - cum): 64x32 product via two 32x32->64
-      const __m256i t1 = _mm256_mul_epu32(y, f64);
-      const __m256i t2 = _mm256_mul_epu32(_mm256_srli_epi64(y, 32), f64);
+      // x = freq * y + bias: 64x32 product via two 32x32->64; mul_epu32
+      // reads each qword's LOW dword, which is exactly the entry's freq
+      const __m256i t1 = _mm256_mul_epu32(y, e);
+      const __m256i t2 = _mm256_mul_epu32(_mm256_srli_epi64(y, 32), e);
       vx = _mm256_add_epi64(
           _mm256_add_epi64(t1, _mm256_slli_epi64(t2, 32)),
-          _mm256_sub_epi64(slot, cum64));
+          _mm256_srli_epi64(e, 40));
       // renorm: x < 2^31  <=>  x >> 31 == 0
       const __m256i need =
           _mm256_cmpeq_epi64(_mm256_srli_epi64(vx, 31), vzero);
@@ -841,10 +853,18 @@ void decode_stream_r64_avx2(const Layout& L, int stream,
         ptr += __builtin_popcount((unsigned)m);
       }
       _mm256_storeu_si256((__m256i*)&x[g0], vx);
-      alignas(16) int32_t s4[4];
-      _mm_store_si128((__m128i*)s4, sym);
-      uint8_t* o = out + row + g0;
-      for (int k = 0; k < 4; k++) o[k] = (uint8_t)s4[k];
+      // syms are byte 4 of each qword entry; pack 4 to one dword store
+      const __m256i symshuf = _mm256_setr_epi8(
+          4, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+          4, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1);
+      __m256i p = _mm256_shuffle_epi8(e, symshuf);
+      p = _mm256_permutevar8x32_epi32(
+          p, _mm256_setr_epi32(0, 4, 0, 0, 0, 0, 0, 0));
+      const __m128i p128 = _mm256_castsi256_si128(p);
+      const uint32_t s4 = (uint32_t)(uint16_t)_mm_extract_epi16(p128, 0) |
+                          ((uint32_t)(uint16_t)_mm_extract_epi16(p128, 2)
+                           << 16);
+      std::memcpy(out + row + g0, &s4, 4);
     }
   }
   const uint64_t mask = (1ull << sb) - 1;
@@ -854,12 +874,11 @@ void decode_stream_r64_avx2(const Layout& L, int stream,
       if (i >= L.n_symbols) continue;
       uint64_t st = x[g];
       const uint64_t slot = st & mask;
-      const int sy = c2s32[slot];
-      const uint32_t e = (uint32_t)fc32[sy];
-      st = (uint64_t)((e >> 16) + 1) * (st >> sb) + slot - (e & 0xFFFF);
+      const uint64_t e = (uint64_t)ent64[slot];
+      st = (e & 0xFFFFFFFFull) * (st >> sb) + (e >> 40);
       if (st < (1ull << 31)) st = (st << 32) | (uint64_t)(*ptr++);
       x[g] = st;
-      out[i] = (uint8_t)sy;
+      out[i] = (uint8_t)(e >> 32);
     }
   }
 }
@@ -1091,20 +1110,40 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
   const bool alias_avx2 = variant == 3 && have_avx2 && lanes8;
   const bool r64_avx2 =
       variant == 2 && sb <= 16 && have_avx2 && L.lpg % 4 == 0;
-  std::vector<int32_t> c2s32, fc32;
-  if (word_avx2 || byte_avx2 || r64_avx2) {
+  // slot-direct per-slot tables (r4): both lookups index by SLOT, so the
+  // gathers are independent (the reference's own RansWordTables unrolling,
+  // rans_word_sse41.h:58-72) instead of the chained slot->sym->fc form
+  std::vector<int32_t> c2s32, slotfb32;
+  if (word_avx2 || byte_avx2) {
+    const uint32_t M = 1u << sb;
     c2s32.assign(m.c2s.begin(), m.c2s.end());
-    fc32.resize(kNSyms);
-    for (int sy = 0; sy < kNSyms; sy++)
-      fc32[sy] = (int32_t)(((m.freqs[sy] ? m.freqs[sy] - 1 : 0) << 16) |
-                           (uint32_t)m.cum[sy]);
+    slotfb32.resize(M);
+    for (uint32_t sl = 0; sl < M; sl++) {
+      const int sy = m.c2s[sl];
+      slotfb32[sl] = (int32_t)(((m.freqs[sy] - 1) << 16) |
+                               (uint32_t)(sl - m.cum[sy]));
+    }
   }
-  std::vector<int32_t> adiv32, asym32, afreq32, aadj32;
+  std::vector<long long> r64ent;  // bias:16<<40 | sym:8<<32 | freq:32
+  if (r64_avx2) {
+    const uint32_t M = 1u << sb;
+    r64ent.resize(M);
+    for (uint32_t sl = 0; sl < M; sl++) {
+      const int sy = m.c2s[sl];
+      r64ent[sl] = (long long)(
+          ((uint64_t)(sl - (uint32_t)m.cum[sy]) << 40) |
+          ((uint64_t)(uint8_t)sy << 32) | (uint64_t)m.freqs[sy]);
+    }
+  }
+  std::vector<int32_t> adiv32, afs32, aadj32;
   if (alias_avx2) {
     adiv32.assign(alias.divider.begin(), alias.divider.end());
-    asym32.assign(alias.sym_id.begin(), alias.sym_id.end());
-    afreq32.assign(alias.slot_freqs.begin(), alias.slot_freqs.end());
     aadj32.assign(alias.slot_adjust.begin(), alias.slot_adjust.end());
+    afs32.resize(512);
+    for (int b2 = 0; b2 < 512; b2++) {
+      const uint32_t f = alias.slot_freqs[b2];  // 0 only for unselected
+      afs32[b2] = (int32_t)((((f ? f : 1) - 1) << 8) | alias.sym_id[b2]);
+    }
   }
 #endif
 
@@ -1114,7 +1153,7 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
       case 0: {
 #if defined(__AVX2__)
         if (byte_avx2) {
-          ByteLookupAvx2 lk{c2s32.data(), fc32.data(), sb,
+          ByteLookupAvx2 lk{c2s32.data(), slotfb32.data(), sb,
                             (uint32_t)mask};
           decode_stream_byte_avx2(L, s, payload + off, stream_words[s],
                                   sb, lk, out);
@@ -1137,7 +1176,7 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
         if (word_avx2) {
           decode_stream_word_avx2(L, s, (const uint16_t*)(payload + off),
                                   stream_words[s], sb, c2s32.data(),
-                                  fc32.data(), out);
+                                  slotfb32.data(), out);
           off += stream_words[s] * 2;
           break;
         }
@@ -1157,8 +1196,7 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
 #if defined(__AVX2__)
         if (r64_avx2) {
           decode_stream_r64_avx2(L, s, (const uint32_t*)(payload + off),
-                                 stream_words[s], sb, c2s32.data(),
-                                 fc32.data(), out);
+                                 stream_words[s], sb, r64ent.data(), out);
           off += stream_words[s] * 4;
           break;
         }
@@ -1177,8 +1215,8 @@ int64_t trans_decode(int variant, int prob_bits, int n_lanes,
       case 3: {  // alias O(1) lookup (main_alias.cpp:252-267)
 #if defined(__AVX2__)
         if (alias_avx2) {
-          AliasLookupAvx2 lk{adiv32.data(), asym32.data(), afreq32.data(),
-                             aadj32.data(), sb, (uint32_t)mask};
+          AliasLookupAvx2 lk{adiv32.data(), afs32.data(), aadj32.data(),
+                             sb, (uint32_t)mask};
           decode_stream_byte_avx2(L, s, payload + off, stream_words[s],
                                   sb, lk, out);
           off += stream_words[s];
