@@ -177,9 +177,23 @@ int64_t encode_stream(const Layout& L, int stream, const uint8_t* data,
       const int s = data[i];
       uint64_t st = x[g];
       const uint64_t xmax = x_max_of(s);
-      while (st >= xmax) {
-        *--ptr = (typename T::Word)(st & ((1ull << T::kWordBits) - 1));
-        st >>= T::kWordBits;
+      if constexpr (T::kWordBits != 8) {
+        // WORD/RANS64 emit at most ONE word (rans64.h:81-89): branchless
+        // renorm -- the ~50%-taken while-loop branch mispredicted at
+        // book1 rates (the same penalty the AVX2 byte ENCODE removed,
+        // r4).  The speculative store at ptr[-1] is harmless: if the
+        // lane does not renorm, ptr stays put and the slot is either
+        // overwritten by a later emission or lies below the final ptr
+        // and is never copied out (scratch carries slack).
+        const int rn = st >= xmax;
+        ptr[-1] = (typename T::Word)st;
+        ptr -= rn;
+        st = rn ? st >> T::kWordBits : st;
+      } else {
+        while (st >= xmax) {
+          *--ptr = (typename T::Word)(st & ((1ull << T::kWordBits) - 1));
+          st >>= T::kWordBits;
+        }
       }
       x[g] = update(st, s);
     }
@@ -581,13 +595,20 @@ void decode_stream_word_avx2(const Layout& L, int stream,
   const __m256i vmask = _mm256_set1_epi32((1 << sb) - 1);
   const __m256i vzero = _mm256_setzero_si256();
   const __m256i vlow16 = _mm256_set1_epi32(0xFFFF);
+  // two-pass step (r4.5, as in the RANS64 path): pass 1 advances every
+  // 8-lane group with no cross-group dependency; a short scalar prefix
+  // sum over the saved movemasks yields each group's renorm word offset;
+  // pass 2 issues every renorm load at its precomputed ptr offset.  The
+  // one-pass form serialized on load -> popcount -> next group's load.
+  std::vector<uint8_t> gmask(lpg / 8);
+  std::vector<int32_t> goff(lpg / 8 + 1);
   int64_t t = 0;
   // conservative per-step slack: a step consumes <= lpg words and every
-  // renorm load touches 8 words from the current ptr, so ptr + lpg + 8
-  // <= end guarantees no load overreads the payload allocation
+  // renorm load touches 8 words from its offset (<= consumed so far), so
+  // ptr + lpg + 8 <= end guarantees no load overreads the allocation
   for (; t < t_full && ptr + lpg + 8 <= end; t++) {
     const int64_t row = t * L.n_lanes + lane_base;
-    for (int g0 = 0; g0 < lpg; g0 += 8) {
+    for (int g0 = 0; g0 < lpg; g0 += 8) {  // pass 1: advance
       __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
       const __m256i slot = _mm256_and_si256(vx, vmask);
       const __m256i sym = _mm256_i32gather_epi32(c2s32, slot, 4);
@@ -599,25 +620,35 @@ void decode_stream_word_avx2(const Layout& L, int stream,
       vx = _mm256_add_epi32(
           _mm256_mullo_epi32(freq, _mm256_srli_epi32(vx, sb)),
           _mm256_and_si256(fb, vlow16));
-      // renorm: <=1 word/lane; lane-ascending word order via perm LUT
       const __m256i need =
           _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 16), vzero);
-      const int m = _mm256_movemask_ps(_mm256_castsi256_ps(need));
-      if (m) {
-        const __m256i w8 = _mm256_cvtepu16_epi32(
-            _mm_loadu_si128((const __m128i*)ptr));
-        const __m256i w = _mm256_permutevar8x32_epi32(
-            w8, _mm256_load_si256((const __m256i*)g_perm_lut[m]));
-        vx = _mm256_blendv_epi8(
-            vx,
-            _mm256_or_si256(_mm256_slli_epi32(vx, 16),
-                            _mm256_and_si256(w, vlow16)),
-            need);
-        ptr += __builtin_popcount((unsigned)m);
-      }
+      gmask[g0 >> 3] =
+          (uint8_t)_mm256_movemask_ps(_mm256_castsi256_ps(need));
       _mm256_storeu_si256((__m256i*)&x[g0], vx);
       store_syms8(out + row + g0, sym);
     }
+    goff[0] = 0;
+    for (int g = 0; g < lpg / 8; g++)
+      goff[g + 1] = goff[g] + __builtin_popcount((unsigned)gmask[g]);
+    for (int g0 = 0; g0 < lpg; g0 += 8) {  // pass 2: ordered renorm
+      const int m = gmask[g0 >> 3];
+      if (!m) continue;
+      __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
+      const __m256i need =
+          _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 16), vzero);
+      // <=1 word/lane, lane-ascending word order via the perm LUT
+      const __m256i w8 = _mm256_cvtepu16_epi32(_mm_loadu_si128(
+          (const __m128i*)(ptr + goff[g0 >> 3])));
+      const __m256i w = _mm256_permutevar8x32_epi32(
+          w8, _mm256_load_si256((const __m256i*)g_perm_lut[m]));
+      vx = _mm256_blendv_epi8(
+          vx,
+          _mm256_or_si256(_mm256_slli_epi32(vx, 16),
+                          _mm256_and_si256(w, vlow16)),
+          need);
+      _mm256_storeu_si256((__m256i*)&x[g0], vx);
+    }
+    ptr += goff[lpg / 8];
   }
   // scalar tail: remaining steps + the final window where the 8-word
   // SIMD load could overread the payload allocation
@@ -671,39 +702,102 @@ void decode_stream_byte_avx2(const Layout& L, int stream,
     t_full = (L.n_symbols - lane_base - lpg) / L.n_lanes + 1;
 
   const __m256i vzero = _mm256_setzero_si256();
-  const __m256i v1 = _mm256_set1_epi32(1);
   int64_t t = 0;
   // per-step slack: <= 2*lpg bytes consumed, each gather reads 4 bytes
-  for (; t < t_full && ptr + 2 * lpg + 4 <= end; t++) {
-    const int64_t row = t * L.n_lanes + lane_base;
-    for (int g0 = 0; g0 < lpg; g0 += 8) {
-      __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
-      __m256i sym, freq, bias;
-      lookup(vx, &sym, &freq, &bias);
-      vx = _mm256_add_epi32(
-          _mm256_mullo_epi32(freq, _mm256_srli_epi32(vx, sb)), bias);
-      // closed-form byte count: k = (x < 2^23) + (x < 2^15)
-      const __m256i lt23 =
-          _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 23), vzero);
-      const __m256i lt15 =
-          _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 15), vzero);
-      const __m256i k = _mm256_sub_epi32(
-          vzero, _mm256_add_epi32(lt23, lt15));  // cmp masks are -1
-      const __m256i off = exclusive_prefix_sum_epi32(k);
-      // one dword gather per lane: b0 = low byte (msb of the pair)
-      const __m256i quad =
-          _mm256_i32gather_epi32((const int*)ptr, off, 1);
-      const __m256i b0 = _mm256_and_si256(quad, _mm256_set1_epi32(0xFF));
-      const __m256i b1 = _mm256_and_si256(_mm256_srli_epi32(quad, 8),
-                                          _mm256_set1_epi32(0xFF));
-      __m256i x1 = _mm256_blendv_epi8(
-          vx, _mm256_or_si256(_mm256_slli_epi32(vx, 8), b0), lt23);
-      vx = _mm256_blendv_epi8(
-          x1, _mm256_or_si256(_mm256_slli_epi32(x1, 8), b1), lt15);
-      // ptr += sum(k): last lane's off + k
-      ptr += _mm256_extract_epi32(off, 7) + _mm256_extract_epi32(k, 7);
-      _mm256_storeu_si256((__m256i*)&x[g0], vx);
-      store_syms8(out + row + g0, sym);
+  if constexpr (SymLookup::kTwoPass) {
+    // two-pass step (r4.5, as in the WORD/RANS64 paths): pass 1 advances
+    // every 8-lane group independently, saving each group's in-vector
+    // byte offsets and total; a scalar prefix sum over the totals gives
+    // each group's stream base; pass 2 issues every renorm gather at its
+    // precomputed base.  The one-pass form serialized on
+    // gather -> extract -> next group's gather.  ALIAS opts OUT
+    // (kTwoPass=false): its 3-gather lookup plus the saved-offset
+    // traffic spills pass-1 registers and measures 24% SLOWER two-pass,
+    // while 2-gather BYTE measures 17% faster (docs/DESIGN.md).
+    std::vector<int32_t> loff(lpg);     // per-lane byte offsets (saved)
+    std::vector<int32_t> goff(lpg / 8 + 1);
+    for (; t < t_full && ptr + 2 * lpg + 4 <= end; t++) {
+      const int64_t row = t * L.n_lanes + lane_base;
+      goff[0] = 0;
+      for (int g0 = 0; g0 < lpg; g0 += 8) {  // pass 1: advance
+        __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
+        __m256i sym, freq, bias;
+        lookup(vx, &sym, &freq, &bias);
+        vx = _mm256_add_epi32(
+            _mm256_mullo_epi32(freq, _mm256_srli_epi32(vx, sb)), bias);
+        // closed-form byte count: k = (x < 2^23) + (x < 2^15)
+        const __m256i lt23 =
+            _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 23), vzero);
+        const __m256i lt15 =
+            _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 15), vzero);
+        const __m256i k = _mm256_sub_epi32(
+            vzero, _mm256_add_epi32(lt23, lt15));  // cmp masks are -1
+        const __m256i off = exclusive_prefix_sum_epi32(k);
+        _mm256_storeu_si256((__m256i*)&loff[g0], off);
+        goff[(g0 >> 3) + 1] =
+            _mm256_extract_epi32(off, 7) + _mm256_extract_epi32(k, 7);
+        _mm256_storeu_si256((__m256i*)&x[g0], vx);
+        store_syms8(out + row + g0, sym);
+      }
+      for (int g = 0; g < lpg / 8; g++) goff[g + 1] += goff[g];
+      for (int g0 = 0; g0 < lpg; g0 += 8) {  // pass 2: ordered renorm
+        if (goff[(g0 >> 3) + 1] == goff[g0 >> 3]) continue;
+        __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
+        const __m256i lt23 =
+            _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 23), vzero);
+        const __m256i lt15 =
+            _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 15), vzero);
+        const __m256i off =
+            _mm256_loadu_si256((const __m256i*)&loff[g0]);
+        // one dword gather per lane: b0 = low byte (msb of the pair)
+        const __m256i quad = _mm256_i32gather_epi32(
+            (const int*)(ptr + goff[g0 >> 3]), off, 1);
+        const __m256i b0 =
+            _mm256_and_si256(quad, _mm256_set1_epi32(0xFF));
+        const __m256i b1 = _mm256_and_si256(_mm256_srli_epi32(quad, 8),
+                                            _mm256_set1_epi32(0xFF));
+        __m256i x1 = _mm256_blendv_epi8(
+            vx, _mm256_or_si256(_mm256_slli_epi32(vx, 8), b0), lt23);
+        vx = _mm256_blendv_epi8(
+            x1, _mm256_or_si256(_mm256_slli_epi32(x1, 8), b1), lt15);
+        _mm256_storeu_si256((__m256i*)&x[g0], vx);
+      }
+      ptr += goff[lpg / 8];
+    }
+  } else {
+    for (; t < t_full && ptr + 2 * lpg + 4 <= end; t++) {
+      const int64_t row = t * L.n_lanes + lane_base;
+      for (int g0 = 0; g0 < lpg; g0 += 8) {
+        __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
+        __m256i sym, freq, bias;
+        lookup(vx, &sym, &freq, &bias);
+        vx = _mm256_add_epi32(
+            _mm256_mullo_epi32(freq, _mm256_srli_epi32(vx, sb)), bias);
+        // closed-form byte count: k = (x < 2^23) + (x < 2^15)
+        const __m256i lt23 =
+            _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 23), vzero);
+        const __m256i lt15 =
+            _mm256_cmpeq_epi32(_mm256_srli_epi32(vx, 15), vzero);
+        const __m256i k = _mm256_sub_epi32(
+            vzero, _mm256_add_epi32(lt23, lt15));  // cmp masks are -1
+        const __m256i off = exclusive_prefix_sum_epi32(k);
+        // one dword gather per lane: b0 = low byte (msb of the pair)
+        const __m256i quad =
+            _mm256_i32gather_epi32((const int*)ptr, off, 1);
+        const __m256i b0 =
+            _mm256_and_si256(quad, _mm256_set1_epi32(0xFF));
+        const __m256i b1 = _mm256_and_si256(_mm256_srli_epi32(quad, 8),
+                                            _mm256_set1_epi32(0xFF));
+        __m256i x1 = _mm256_blendv_epi8(
+            vx, _mm256_or_si256(_mm256_slli_epi32(vx, 8), b0), lt23);
+        vx = _mm256_blendv_epi8(
+            x1, _mm256_or_si256(_mm256_slli_epi32(x1, 8), b1), lt15);
+        // ptr += sum(k): last lane's off + k
+        ptr +=
+            _mm256_extract_epi32(off, 7) + _mm256_extract_epi32(k, 7);
+        _mm256_storeu_si256((__m256i*)&x[g0], vx);
+        store_syms8(out + row + g0, sym);
+      }
     }
   }
   // scalar tail (same transition; two bounded renorm rounds)
@@ -721,6 +815,7 @@ void decode_stream_byte_avx2(const Layout& L, int stream,
 }
 
 struct ByteLookupAvx2 {
+  static constexpr bool kTwoPass = true;  // 2-gather lookup: +17% two-pass
   const int32_t* c2s32;
   const int32_t* slotfb32;  // per slot: (freq-1)<<16 | (slot - cum)
   int sb;
@@ -746,6 +841,9 @@ struct ByteLookupAvx2 {
 };
 
 struct AliasLookupAvx2 {
+  // 3-gather lookup spills pass-1 registers: 24% SLOWER two-pass, so it
+  // keeps the one-pass engine (docs/DESIGN.md r4.5 bullet)
+  static constexpr bool kTwoPass = false;
   const int32_t* div32;  // [256] divider (absolute)
   const int32_t* fs32;   // [512] (freq-1) << 8 | sym
   const int32_t* adj32;  // [512] slot_adjust (wrapped u32 in int lanes)
@@ -824,10 +922,18 @@ void decode_stream_r64_avx2(const Layout& L, int stream,
 
   const __m256i vmask = _mm256_set1_epi64x((1ll << sb) - 1);
   const __m256i vzero = _mm256_setzero_si256();
+  // two-pass step (r4.5): pass 1 advances every 4-lane group with NO
+  // cross-group dependency (the gathers and limb products of all lpg/4
+  // groups pipeline freely); the per-group renorm word offsets are a
+  // short scalar prefix sum over the saved movemasks; pass 2 issues
+  // every renorm load at its precomputed ptr offset.  The one-pass form
+  // serialized on load -> popcount -> next group's load.
+  std::vector<uint8_t> gmask(lpg / 4);
+  std::vector<int32_t> goff(lpg / 4 + 1);
   int64_t t = 0;
   for (; t < t_full && ptr + lpg + 4 <= end; t++) {
     const int64_t row = t * L.n_lanes + lane_base;
-    for (int g0 = 0; g0 < lpg; g0 += 4) {
+    for (int g0 = 0; g0 < lpg; g0 += 4) {  // pass 1: advance
       __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
       const __m256i slot = _mm256_and_si256(vx, vmask);
       const __m256i e = _mm256_i64gather_epi64(ent64, slot, 8);
@@ -839,19 +945,11 @@ void decode_stream_r64_avx2(const Layout& L, int stream,
       vx = _mm256_add_epi64(
           _mm256_add_epi64(t1, _mm256_slli_epi64(t2, 32)),
           _mm256_srli_epi64(e, 40));
-      // renorm: x < 2^31  <=>  x >> 31 == 0
+      // renorm need: x < 2^31  <=>  x >> 31 == 0
       const __m256i need =
           _mm256_cmpeq_epi64(_mm256_srli_epi64(vx, 31), vzero);
-      const int m = _mm256_movemask_pd(_mm256_castsi256_pd(need));
-      if (m) {
-        const __m256i w4 = _mm256_cvtepu32_epi64(
-            _mm_loadu_si128((const __m128i*)ptr));
-        const __m256i w = _mm256_permutevar8x32_epi32(
-            w4, _mm256_load_si256((const __m256i*)g_perm_lut64[m]));
-        vx = _mm256_blendv_epi8(
-            vx, _mm256_or_si256(_mm256_slli_epi64(vx, 32), w), need);
-        ptr += __builtin_popcount((unsigned)m);
-      }
+      gmask[g0 >> 2] =
+          (uint8_t)_mm256_movemask_pd(_mm256_castsi256_pd(need));
       _mm256_storeu_si256((__m256i*)&x[g0], vx);
       // syms are byte 4 of each qword entry; pack 4 to one dword store
       const __m256i symshuf = _mm256_setr_epi8(
@@ -866,6 +964,24 @@ void decode_stream_r64_avx2(const Layout& L, int stream,
                            << 16);
       std::memcpy(out + row + g0, &s4, 4);
     }
+    goff[0] = 0;
+    for (int g = 0; g < lpg / 4; g++)
+      goff[g + 1] = goff[g] + __builtin_popcount((unsigned)gmask[g]);
+    for (int g0 = 0; g0 < lpg; g0 += 4) {  // pass 2: ordered renorm
+      const int m = gmask[g0 >> 2];
+      if (!m) continue;
+      __m256i vx = _mm256_loadu_si256((const __m256i*)&x[g0]);
+      const __m256i need =
+          _mm256_cmpeq_epi64(_mm256_srli_epi64(vx, 31), vzero);
+      const __m256i w4 = _mm256_cvtepu32_epi64(
+          _mm_loadu_si128((const __m128i*)(ptr + goff[g0 >> 2])));
+      const __m256i w = _mm256_permutevar8x32_epi32(
+          w4, _mm256_load_si256((const __m256i*)g_perm_lut64[m]));
+      vx = _mm256_blendv_epi8(
+          vx, _mm256_or_si256(_mm256_slli_epi64(vx, 32), w), need);
+      _mm256_storeu_si256((__m256i*)&x[g0], vx);
+    }
+    ptr += goff[lpg / 4];
   }
   const uint64_t mask = (1ull << sb) - 1;
   for (; t < L.steps; t++) {
