@@ -149,6 +149,33 @@ def test_readme_e2e_matches_device_artifact():
     assert abs(float(m.group(1)) - round(art["value"], 2)) < 0.005
 
 
+def test_readme_host_numbers_match_native_artifact():
+    """The README's host-path decode pairs (ours vs same-session
+    reference) must be quoted from NATIVE_r04B.json."""
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    readme = (root / "README.md").read_text()
+    m = re.search(
+        r"WORD (\d+\.\d+) vs (\d+\.\d+) GB/s.*?BYTE\s*"
+        r"(\d+\.\d+) vs (\d+\.\d+), ALIAS (\d+\.\d+) vs (\d+\.\d+), "
+        r"RANS64 (\d+\.\d+) vs (\d+\.\d+)", readme, re.S)
+    assert m, "README host paragraph shape changed"
+    art = json.loads((root / "NATIVE_r04B.json").read_text())
+    ours = {r["variant"]: r["decode_gbs"] for r in art["rows"]}
+    ref = art["reference_same_session_gbs"]
+    ref_best = {
+        "WORD": ref["word_dec8_simd"], "BYTE": ref["byte_dec2"],
+        "ALIAS": ref["alias_dec2"], "RANS64": ref["rans64_dec2"]}
+    got = [float(g) for g in m.groups()]
+    for i, v in enumerate(("WORD", "BYTE", "ALIAS", "RANS64")):
+        assert abs(got[2 * i] - ours[v]) < 0.0051, (v, got[2 * i], ours[v])
+        assert abs(got[2 * i + 1] - ref_best[v]) < 0.0051, \
+            (v, got[2 * i + 1], ref_best[v])
+
+
 def test_readme_ratio_matches_ratio_artifact():
     """The README's headline bits/byte figure must equal the committed
     RATIO artifact captured through the real api.compress front door."""
