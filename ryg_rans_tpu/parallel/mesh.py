@@ -140,9 +140,13 @@ def roundtrip_step(mesh: Mesh, cfg: RansConfig, data_u8, freqs, cum_freqs,
     re-prepare, decode, unpack -- all block-sharded over the mesh, for ANY
     variant (WORD / BYTE / ALIAS / RANS64).
 
-    data_u8 must be padded to n_blocks * block_symbols with
-    n_blocks % mesh.size == 0.  Returns (decoded bytes (sharded array),
-    (compacted word buffers, per-block counts)).
+    data_u8 must be padded to n_blocks * block_symbols.  Ragged block
+    counts (n_blocks % mesh.size != 0) are handled by padding with zero
+    blocks up to the next multiple of the mesh size; the decoded output is
+    sliced back to data_u8.size, and the returned word buffers/counts cover
+    the padded block count (trailing pad blocks are ignorable).  Returns
+    (decoded bytes (sharded array), (compacted word buffers, per-block
+    counts)).
     """
     from ..config import Variant
     from ..ops import byte_tpu, rans64_tpu
@@ -150,11 +154,13 @@ def roundtrip_step(mesh: Mesh, cfg: RansConfig, data_u8, freqs, cum_freqs,
     R = cfg.n_lanes // 128
     N = cfg.n_lanes
     B = cfg.block_symbols
-    n_blocks = data_u8.size // B
-    T4 = B // N // 4
+    n_real = data_u8.size // B
     ndev = mesh.devices.size
-    if n_blocks % ndev:
-        raise ValueError(f"n_blocks={n_blocks} not divisible by {ndev}")
+    n_blocks = -(-n_real // ndev) * ndev
+    if n_blocks != n_real:  # ragged: pad with zero blocks (discarded below)
+        pad = jnp.zeros((n_blocks - n_real) * B, data_u8.dtype)
+        data_u8 = jnp.concatenate([jnp.asarray(data_u8), pad])
+    T4 = B // N // 4
     per = n_blocks // ndev
     ilp = 2 if per % 2 == 0 else 1
     sb = cfg.prob_bits
@@ -235,4 +241,6 @@ def roundtrip_step(mesh: Mesh, cfg: RansConfig, data_u8, freqs, cum_freqs,
                   in_specs=tuple([P()] * n_tabs) + (P(DATA_AXIS),),
                   out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)))
     out, words, n_words = f(*enc_tabs, *dec_tabs, spk)
+    if n_blocks != n_real:
+        out = out[:n_real * B]
     return out, (words, n_words)

@@ -32,15 +32,22 @@ def process_index() -> int:
     return jax.process_index()
 
 
+def block_range_of(n_blocks: int, pi: int, np_: int) -> tuple[int, int]:
+    """Contiguous block interval owned by process ``pi`` of ``np_``.
+
+    Ragged counts are allowed: the first ``n_blocks mod np_`` processes own
+    one extra block, so ownership stays contiguous and block-major (the
+    gather is order-preserving).  Deterministic from (n_blocks, np_), so
+    every process can compute every other process's slice without
+    communication."""
+    base, rem = divmod(n_blocks, np_)
+    lo = pi * base + min(pi, rem)
+    return lo, lo + base + (1 if pi < rem else 0)
+
+
 def local_block_range(n_blocks: int) -> tuple[int, int]:
-    """Contiguous block interval owned by this process (block-major order,
-    matching the container layout so the gather is order-preserving)."""
-    np_, pi = process_count(), process_index()
-    if n_blocks % np_:
-        raise ValueError(f"n_blocks={n_blocks} not divisible by "
-                         f"{np_} processes")
-    per = n_blocks // np_
-    return pi * per, (pi + 1) * per
+    """Block interval owned by THIS process (see block_range_of)."""
+    return block_range_of(n_blocks, process_index(), process_count())
 
 
 def allgather_payloads(local_payloads: list[np.ndarray],
@@ -55,18 +62,24 @@ def allgather_payloads(local_payloads: list[np.ndarray],
         return list(local_payloads)
     from jax.experimental import multihost_utils
 
-    dt = local_payloads[0].dtype
+    dt = local_payloads[0].dtype if local_payloads else np.uint16
     n_local = len(local_payloads)
-    counts = np.array([p.size for p in local_payloads], np.int64)
-    buf = np.zeros((n_local, cap_words), dt)
+    # Ragged ownership: processes may hold different block counts, but
+    # allgather needs one static shape -- pad the row dimension to the
+    # global max and mark pad rows with count -1.
+    n_rows = int(np.asarray(multihost_utils.process_allgather(
+        np.array([n_local], np.int64))).max())
+    counts = np.full(n_rows, -1, np.int64)
+    counts[:n_local] = [p.size for p in local_payloads]
+    buf = np.zeros((n_rows, cap_words), dt)
     for i, p in enumerate(local_payloads):
         buf[i, :p.size] = p
     all_counts = np.asarray(multihost_utils.process_allgather(counts))
     all_buf = np.asarray(multihost_utils.process_allgather(buf))
     all_counts = all_counts.reshape(-1)
     all_buf = all_buf.reshape(-1, cap_words)
-    return [all_buf[i, :int(all_counts[i])].copy()
-            for i in range(all_counts.size)]
+    return [all_buf[i, :int(c)].copy()
+            for i, c in enumerate(all_counts) if c >= 0]
 
 
 def compress_multihost(data: np.ndarray, cfg: RansConfig, freqs, cum,
@@ -82,8 +95,11 @@ def compress_multihost(data: np.ndarray, cfg: RansConfig, freqs, cum,
     n_blocks = data.size // B
     lo, hi = local_block_range(n_blocks)
     local = data[lo * B:hi * B]
-    blocks, _ = _tpu_mod(cfg).encode(cfg, local, freqs, cum,
-                                     interpret=interpret)
+    if hi > lo:
+        blocks, _ = _tpu_mod(cfg).encode(cfg, local, freqs, cum,
+                                         interpret=interpret)
+    else:  # ragged: more processes than blocks -> this one owns none
+        blocks = []
     spec = cfg.spec
     cap = B * spec.max_renorm + cfg.n_lanes * spec.state_words
     return allgather_payloads(blocks, cap)
@@ -99,15 +115,27 @@ def decompress_multihost(payloads: list[np.ndarray], cfg: RansConfig,
     B = cfg.block_symbols
     n_blocks = len(payloads)
     lo, hi = local_block_range(n_blocks)
-    local_syms = min(hi * B, n_symbols_padded) - lo * B
-    out = _tpu_mod(cfg).decode(cfg, payloads[lo:hi], local_syms, freqs, cum,
-                               interpret=interpret)
-    if process_count() == 1:
+    if hi > lo:
+        local_syms = min(hi * B, n_symbols_padded) - lo * B
+        out = _tpu_mod(cfg).decode(cfg, payloads[lo:hi], local_syms, freqs,
+                                   cum, interpret=interpret)
+    else:  # ragged: this process owns no blocks
+        out = np.zeros(0, np.uint8)
+    P = process_count()
+    if P == 1:
         return out
     from jax.experimental import multihost_utils
 
-    cap = B * (hi - lo)
-    buf = np.zeros(cap, np.uint8)
+    # Uniform gather capacity (ragged ownership => per-process sizes
+    # differ); reassemble by each process's deterministic block span.
+    per_max = -(-n_blocks // P)
+    buf = np.zeros(B * per_max, np.uint8)
     buf[:out.size] = out
     gathered = np.asarray(multihost_utils.process_allgather(buf))
-    return gathered.reshape(-1)[:n_symbols_padded]
+    gathered = gathered.reshape(P, -1)
+    parts = []
+    for p in range(P):
+        plo, phi = block_range_of(n_blocks, p, P)
+        n_syms = max(0, min(phi * B, n_symbols_padded) - plo * B)
+        parts.append(gathered[p, :n_syms])
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint8)

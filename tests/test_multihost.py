@@ -23,10 +23,26 @@ def test_local_block_range_single_process():
     assert (lo, hi) == (0, 8)
 
 
-def test_local_block_range_rejects_ragged(monkeypatch):
+@pytest.mark.parametrize("n_blocks,P", [(8, 3), (5, 2), (9, 8), (3, 5),
+                                        (7, 1), (16, 4)])
+def test_block_range_of_ragged_partition(n_blocks, P):
+    """Ragged ownership: contiguous, ordered, covers exactly [0, n_blocks);
+    first n_blocks%P processes own one extra block."""
+    spans = [multihost.block_range_of(n_blocks, p, P) for p in range(P)]
+    assert spans[0][0] == 0 and spans[-1][1] == n_blocks
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b == c and b >= a and d >= c
+    sizes = [b - a for a, b in spans]
+    base, rem = divmod(n_blocks, P)
+    assert sizes == [base + (1 if p < rem else 0) for p in range(P)]
+
+
+def test_local_block_range_ragged(monkeypatch):
     monkeypatch.setattr(multihost, "process_count", lambda: 3)
-    with pytest.raises(ValueError, match="divisible"):
-        multihost.local_block_range(8)
+    monkeypatch.setattr(multihost, "process_index", lambda: 0)
+    assert multihost.local_block_range(8) == (0, 3)
+    monkeypatch.setattr(multihost, "process_index", lambda: 2)
+    assert multihost.local_block_range(8) == (6, 8)
 
 
 def test_compress_decompress_multihost_roundtrip(book1_head):

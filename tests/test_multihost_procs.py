@@ -29,14 +29,15 @@ assert multihost.process_count() == n
 cfg = RansConfig(variant=Variant.WORD, prob_bits=12, n_lanes=128,
                  lanes_per_stream=128, block_symbols=2048)
 rng = np.random.default_rng(7)
-data = rng.integers(0, 256, 4 * cfg.block_symbols, dtype=np.uint8)
-freqs, cum = stats.build_model(data, cfg.prob_bits)
-payloads = multihost.compress_multihost(data, cfg, freqs, cum,
-                                        interpret=True)
-assert len(payloads) == 4
-out = multihost.decompress_multihost(payloads, cfg, data.size, freqs, cum,
-                                     interpret=True)
-assert np.array_equal(out[:data.size], data)
+for n_blocks in (4, 5):   # even split AND ragged (5 blocks / 2 procs)
+    data = rng.integers(0, 256, n_blocks * cfg.block_symbols, dtype=np.uint8)
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+    payloads = multihost.compress_multihost(data, cfg, freqs, cum,
+                                            interpret=True)
+    assert len(payloads) == n_blocks
+    out = multihost.decompress_multihost(payloads, cfg, data.size, freqs,
+                                         cum, interpret=True)
+    assert np.array_equal(out[:data.size], data)
 print("MULTIHOST_OK", pid, flush=True)
 '''
 

@@ -71,6 +71,21 @@ def test_sharded_matches_single_device(mesh8, book1_head):
             np.asarray(words)[b, :nw].astype(np.uint16), blocks[b])
 
 
+def test_sharded_roundtrip_ragged_blocks(mesh8, book1_head):
+    """Ragged ownership: 9 blocks over 8 devices (VERDICT r4 #5) --
+    roundtrip_step pads to the mesh size internally and slices back."""
+    import jax.numpy as jnp
+    cfg = _cfg()
+    n_blocks = 9
+    S = n_blocks * cfg.block_symbols
+    data = np.tile(book1_head, 1)[:S]
+    freqs, cum = stats.build_model(data, cfg.prob_bits)
+    out, _ = pmesh.roundtrip_step(mesh8, cfg, jnp.asarray(data), freqs, cum,
+                                  interpret=True)
+    assert out.shape == (S,)
+    assert np.array_equal(np.asarray(out), data)
+
+
 @pytest.mark.parametrize("variant,pb", [
     (Variant.BYTE, 14), (Variant.ALIAS, 16), (Variant.RANS64, 14),
     (Variant.RANS64, 20),  # two-limb + reciprocal path sharded
