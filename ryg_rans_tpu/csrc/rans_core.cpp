@@ -212,6 +212,46 @@ int64_t encode_stream(const Layout& L, int stream, const uint8_t* data,
 }
 
 #if defined(__AVX2__)
+// Byte-encode compressed-store LUT: 4 lanes per entry, indexed by
+// (k>=1 nibble) | (k==2 nibble)<<4 where k is the lane's emitted byte
+// count.  Source bytes are [hi, lo] pairs at positions [2l, 2l+1]; the
+// control selects, lane-ascending, the hi byte only when k==2 (MSB-first
+// pair order, matching the scalar engine's backward emission).
+alignas(16) static uint8_t g_enc_pack_lut[256][16];
+
+static bool init_enc_pack_lut() {
+  for (int idx = 0; idx < 256; idx++) {
+    int o = 0;
+    for (int l = 0; l < 4; l++) {
+      const bool k1 = (idx >> l) & 1, k2 = (idx >> (4 + l)) & 1;
+      if (k2) g_enc_pack_lut[idx][o++] = (uint8_t)(2 * l);
+      if (k1) g_enc_pack_lut[idx][o++] = (uint8_t)(2 * l + 1);
+    }
+    while (o < 16) g_enc_pack_lut[idx][o++] = 0x80;
+  }
+  return true;
+}
+static const bool g_enc_pack_ready = init_enc_pack_lut();
+
+// Word-encode compressed-store LUT: 8 lanes per entry, indexed by the
+// renorm movemask; selects each renorming lane's low u16 (LE byte pair),
+// lane-ascending.
+alignas(16) static uint8_t g_enc_pack_lut16[256][16];
+
+static bool init_enc_pack_lut16() {
+  for (int idx = 0; idx < 256; idx++) {
+    int o = 0;
+    for (int l = 0; l < 8; l++)
+      if ((idx >> l) & 1) {
+        g_enc_pack_lut16[idx][o++] = (uint8_t)(2 * l);
+        g_enc_pack_lut16[idx][o++] = (uint8_t)(2 * l + 1);
+      }
+    while (o < 16) g_enc_pack_lut16[idx][o++] = 0x80;
+  }
+  return true;
+}
+static const bool g_enc_pack16_ready = init_enc_pack_lut16();
+
 // ---------------------------------------------------------------------------
 // AVX2 8-lane WORD encode (16-bit emission), pb <= 15.
 //
@@ -236,7 +276,10 @@ int64_t encode_stream_word_avx2(const Layout& L, int stream,
   const int max_renorm = 1;
   std::vector<uint16_t> scratch(
       (size_t)(L.steps * lpg * max_renorm + (int64_t)lpg * 2 + 8));
-  uint16_t* ptr = scratch.data() + scratch.size();
+  // top 8 words (16 B) are sacrificial slack for the branchless 16-byte
+  // stores' save/restore on the very first emitting group
+  uint16_t* const top = scratch.data() + scratch.size() - 8;
+  uint16_t* ptr = top;
 
   // partial steps (any lane with i >= n_symbols) run scalar, first in
   // the reverse walk
@@ -280,14 +323,30 @@ int64_t encode_stream_word_avx2(const Layout& L, int stream,
           _mm256_slli_epi32(freq, 32 - sb), vone);
       const __m256i need = _mm256_cmpgt_epi32(
           _mm256_xor_si256(vx, vsign), _mm256_xor_si256(thm1, vsign));
-      const int m = _mm256_movemask_ps(_mm256_castsi256_ps(need));
-      if (m) {
-        alignas(32) int32_t w8[8];
-        _mm256_store_si256((__m256i*)w8, _mm256_and_si256(vx, vlow16));
+      {
+        // branchless shuffle-LUT compressed store (r5, as in the BYTE
+        // encoder): extract the 8 lanes' low u16s into one xmm, compact
+        // the renorming lanes' LE byte pairs with a 256-entry pshufb
+        // control LUT, land them in one 16-byte store.  The <= 16-byte
+        // spill past the group's region is covered by one 16-byte
+        // save/restore at the region end (scratch top slack covers the
+        // very first group).
+        const int m = _mm256_movemask_ps(_mm256_castsi256_ps(need));
+        const __m256i lo16shuf = _mm256_setr_epi8(
+            0, 1, 4, 5, 8, 9, 12, 13, -1, -1, -1, -1, -1, -1, -1, -1,
+            0, 1, 4, 5, 8, 9, 12, 13, -1, -1, -1, -1, -1, -1, -1, -1);
+        const __m256i p = _mm256_shuffle_epi8(vx, lo16shuf);
+        const __m128i src = _mm256_castsi256_si128(
+            _mm256_permutevar8x32_epi32(
+                p, _mm256_setr_epi32(0, 1, 4, 5, 0, 0, 0, 0)));
+        uint16_t* const oe = ptr;          // previous group's region start
         ptr -= __builtin_popcount((unsigned)m);
-        uint16_t* o = ptr;
-        for (unsigned mm = (unsigned)m; mm; mm &= mm - 1)
-          *o++ = (uint16_t)w8[__builtin_ctz(mm)];
+        __m128i save = _mm_loadu_si128((const __m128i*)oe);
+        _mm_storeu_si128(
+            (__m128i*)ptr,
+            _mm_shuffle_epi8(src, _mm_load_si128(
+                (const __m128i*)g_enc_pack_lut16[m])));
+        _mm_storeu_si128((__m128i*)oe, save);
         vx = _mm256_blendv_epi8(vx, _mm256_srli_epi32(vx, 16), need);
       }
       // update x = (x/freq << sb) + x%freq + cum; x/freq exact in double
@@ -329,7 +388,7 @@ int64_t encode_stream_word_avx2(const Layout& L, int stream,
     *--ptr = (uint16_t)st;
   }
 
-  const int64_t n_words = scratch.data() + scratch.size() - ptr;
+  const int64_t n_words = top - ptr;
   if (n_words > out_cap_words) return -1;
   std::memcpy(out, ptr, (size_t)n_words * sizeof(uint16_t));
   return n_words;
@@ -381,6 +440,7 @@ static inline __m256i exclusive_prefix_sum_epi32(__m256i v) {
   return _mm256_sub_epi32(s, v);
 }
 
+
 struct IdentityRemap {
   __m256i operator()(__m256i slot) const { return slot; }
   uint32_t scalar(uint32_t slot) const { return slot; }
@@ -404,9 +464,9 @@ int64_t encode_stream_byte_avx2(const Layout& L, int stream,
   const int max_renorm = 2;
   std::vector<uint8_t> scratch(
       (size_t)(L.steps * lpg * max_renorm + (int64_t)lpg * 4 + 8));
-  // top 2 bytes are sacrificial slack for the branchless store's
+  // top 8 bytes are sacrificial slack for the branchless 8-byte stores'
   // save/restore on the very first emitting group
-  uint8_t* const top = scratch.data() + scratch.size() - 2;
+  uint8_t* const top = scratch.data() + scratch.size() - 8;
   uint8_t* ptr = top;
   std::vector<uint32_t> x32(lpg, 1u << 23);  // ByteTraits::kL
 
@@ -452,29 +512,39 @@ int64_t encode_stream_byte_avx2(const Layout& L, int stream,
       const __m256i x8 = _mm256_srli_epi32(vx, 8);
       const __m256i n2 = _mm256_cmpgt_epi32(
           _mm256_xor_si256(x8, vsign), thm1x);  // n2 implies n1
-      if (!_mm256_testz_si256(n1, n1)) {
-        const __m256i k = _mm256_sub_epi32(
-            _mm256_setzero_si256(), _mm256_add_epi32(n1, n2));
-        alignas(32) int32_t xa[8], ka[8], offs[8];
-        _mm256_store_si256((__m256i*)xa, vx);
-        _mm256_store_si256((__m256i*)ka, k);
-        _mm256_store_si256((__m256i*)offs, exclusive_prefix_sum_epi32(k));
+      {
+        // branchless shuffle-LUT compressed store (r5; the previous
+        // spill-to-array + scalar-pair-loop form paid a store-forward
+        // stall chain every group): per 4-lane half, one pshufb with a
+        // 256-entry control LUT compacts the [hi, lo] byte pairs
+        // (MSB-first, lane-ascending), one 8-byte store lands them, and
+        // popcount of the LUT index is the byte count.  Both stores
+        // spill <= 8 bytes past the group's region; one u64
+        // save/restore at the region end covers every spill (the
+        // scratch top slack covers the very first group).
+        const int m1 = _mm256_movemask_ps(_mm256_castsi256_ps(n1));
+        const int m2 = _mm256_movemask_ps(_mm256_castsi256_ps(n2));
+        const __m256i pairshuf = _mm256_setr_epi8(
+            1, 0, 5, 4, 9, 8, 13, 12, -1, -1, -1, -1, -1, -1, -1, -1,
+            1, 0, 5, 4, 9, 8, 13, 12, -1, -1, -1, -1, -1, -1, -1, -1);
+        const __m256i pairs = _mm256_shuffle_epi8(vx, pairshuf);
+        const int idx0 = (m1 & 0xF) | ((m2 & 0xF) << 4);
+        const int idx1 = (m1 >> 4) | (m2 & 0xF0);
+        const int cnt0 = __builtin_popcount((unsigned)idx0);
+        const int cnt1 = __builtin_popcount((unsigned)idx1);
         uint8_t* const oe = ptr;           // previous group's region start
-        ptr -= offs[7] + ka[7];
-        // branchless compressed store: every lane writes a 2-byte pair
-        // at its prefix-sum offset (MSB-first); k<2 lanes spill into the
-        // next lane's position (overwritten, lanes ascend) and the final
-        // <=2-byte spill past the region is save/restored.  The scratch
-        // tail slack covers the very first group's spill.
-        const uint8_t s0 = oe[0], s1 = oe[1];
-        for (int l = 0; l < 8; l++) {
-          const uint32_t xv = (uint32_t)xa[l];
-          const uint16_t pair = (uint16_t)(
-              (uint8_t)(xv >> ((ka[l] & 2) << 2)) | ((xv & 0xFF) << 8));
-          std::memcpy(ptr + offs[l], &pair, 2);
-        }
-        oe[0] = s0;
-        oe[1] = s1;
+        ptr -= cnt0 + cnt1;
+        uint64_t save;
+        std::memcpy(&save, oe, 8);
+        const __m128i out0 = _mm_shuffle_epi8(
+            _mm256_castsi256_si128(pairs),
+            _mm_load_si128((const __m128i*)g_enc_pack_lut[idx0]));
+        const __m128i out1 = _mm_shuffle_epi8(
+            _mm256_extracti128_si256(pairs, 1),
+            _mm_load_si128((const __m128i*)g_enc_pack_lut[idx1]));
+        _mm_storel_epi64((__m128i*)ptr, out0);
+        _mm_storel_epi64((__m128i*)(ptr + cnt0), out1);
+        std::memcpy(oe, &save, 8);
         vx = _mm256_blendv_epi8(vx, x8, n1);
         vx = _mm256_blendv_epi8(vx, _mm256_srli_epi32(vx, 8), n2);
       }
