@@ -233,8 +233,10 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
     M1 = (1 << sb) - 1
     WMAX = wmax_rows(R)
     cap_rows = stream4_ref.shape[0] // ilp
-    # loop-invariant first-level bisect keys (lanes.bisect_consts)
-    bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=(sb <= 15),
+    # loop-invariant first-level bisect keys (lanes.bisect_consts);
+    # fused=True also at sb == 16: the track2 search needs the entry-255
+    # reject-tracker seed
+    bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=True,
                                   levels=4 if hoist4 else 3) \
         if (not alias and _use_bisect(sb)) else None
 
@@ -278,11 +280,13 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
                 sym, freq, cumv = lanes.cum2sym_bisect_fused(
                     fc[2:4], slot, sb, (R, 128), consts=bconsts)
             else:
-                sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128),
-                                           consts=bconsts)
-                e = lanes.table_lookup(fc, sym, 2, (R, 128))
-                freq = lanes.srl(e, 16) + 1  # fc packs freq-1
-                cumv = e & 0xFFFF
+                # sb == 16: plain cum[s+1] keys; tracking BOTH search
+                # neighbors gives freq = cum[sym+1] - cum[sym] and cum
+                # with no fc gather (r5, lanes.cum2sym_bisect_track2)
+                sym, acc, rej = lanes.cum2sym_bisect_track2(
+                    fc[2:4], slot, (R, 128), consts=bconsts, acc_init=0)
+                freq = rej - acc
+                cumv = acc
             x = freq * lanes.srl(x, sb) + slot - cumv
         else:
             # two-level cum2sym lookup + advance (rans_byte.h:125-149)

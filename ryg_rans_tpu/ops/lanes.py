@@ -169,11 +169,32 @@ def cum2sym_bisect_fused(cn_rows, slot, sb: int, shape, consts=None):
     The all-accept path (sym = 255) never probes entry 255, so the reject
     tracker initializes to that key (loop-invariant, in ``consts``).
     """
-    sym, eab = _bisect_core(cn_rows, (slot << sb) | ((1 << sb) - 1),
-                            shape, consts)
+    sym, _, eab = _bisect_core(cn_rows, (slot << sb) | ((1 << sb) - 1),
+                               shape, consts)
     freq = (eab & ((1 << sb) - 1)) + 1
     cumv = srl(eab, sb) - freq
     return sym, freq, cumv
+
+
+def cum2sym_bisect_track2(cn_rows, t, shape, consts=None,
+                          acc_init: int = 0):
+    """Rank search returning (sym, key[sym-1], key[sym]) -- BOTH neighbors
+    of the answer tracked through the selects (r5).
+
+    The search maintains sym in (last_accept, last_reject]; at the end
+    last_accept == sym-1 and last_reject == sym, so with keys = cum[s+1]
+    the two trackers ARE cum[sym] and cum[sym+1]: freq = rej - acc and
+    slot - cum[sym] = probe - acc, with NO per-symbol fc table gather at
+    all (the r3/r4 forms still paid a dependent 2-row freq lookup on the
+    wide RANS64 path).  Biased keys (pack_wide_fc) need no un-biasing:
+    both outputs carry the same bias, which cancels in the differences.
+
+    ``acc_init`` seeds the accept tracker for the sym == 0 path (no probe
+    ever accepts): key[-1] = cum[0] = 0, i.e. 0 for plain keys and
+    I32_MIN for xor-biased ones.  Must be a plain Python int (Pallas
+    rejects captured device constants).
+    """
+    return _bisect_core(cn_rows, t, shape, consts, acc_init=acc_init)
 
 
 def cum2sym_bisect_track(cn_rows, slot, shape, consts=None):
@@ -194,44 +215,52 @@ def cum2sym_bisect_track(cn_rows, slot, shape, consts=None):
     ONE xor per lookup instead of two per level (r4).  The tracked
     entry comes back biased and is un-biased here.
     """
-    sym, eab = _bisect_core(cn_rows, slot ^ I32_MIN, shape, consts)
+    sym, _, eab = _bisect_core(cn_rows, slot ^ I32_MIN, shape, consts)
     return sym, eab ^ I32_MIN
 
 
-def _bisect_core(cn_rows, t, shape, consts):
+def _bisect_core(cn_rows, t, shape, consts, acc_init: int = 0):
     """Branchless 8-level rank search: sym = #{s : key[s] <= t} over 256
-    parity-interleaved keys, tracking the last REJECTED probe's key (which
-    is entry[sym]: the search maintains sym in (lo, last_reject] and ends
-    with last_reject == sym).  The all-accept path (sym = 255) never
+    parity-interleaved keys, tracking BOTH neighbors of the answer
+    through the selects: the last ACCEPTED probe's key (entry[sym-1],
+    seeded with ``acc_init`` for the never-accepts sym == 0 path) and the
+    last REJECTED probe's key (entry[sym]; the search maintains sym in
+    (last_accept, last_reject]).  The all-accept path (sym = 255) never
     probes entry 255, so the reject tracker initializes to that key
     (loop-invariant, in ``consts``).  Compares are plain SIGNED int32 --
     callers guarantee key order under signed compare (fused keys < 2^31;
     the wide path pre-biases keys and probe, cum2sym_bisect_track).
-    Returns (sym, entry[sym])."""
+    Returns (sym, entry[sym-1], entry[sym]); callers that ignore the
+    accept tracker cost nothing (its selects dead-code-eliminate)."""
     row0 = jnp.broadcast_to(cn_rows[0:1], shape)
     row1 = jnp.broadcast_to(cn_rows[1:2], shape)
     if consts is None:
         consts = bisect_consts(cn_rows, shape, fused=True)
     k127, k63, k191, k31, k95, k159, k223, k255 = consts[:8]
     eab = k255                               # last rejected probe's key
+    acw = jnp.full(shape, acc_init, jnp.int32)  # last accepted probe's key
     a1 = t >= k127
     lo = jnp.where(a1, 128, 0)
     eab = jnp.where(a1, eab, k127)
+    acw = jnp.where(a1, k127, acw)
     ev = jnp.where(a1, k191, k63)            # entry lo + 63
     a2 = t >= ev
     lo = lo + jnp.where(a2, 64, 0)
     eab = jnp.where(a2, eab, ev)
+    acw = jnp.where(a2, ev, acw)
     ev = jnp.where(a1, jnp.where(a2, k223, k159),
                    jnp.where(a2, k95, k31))  # entry lo + 31
     a3 = t >= ev
     lo = lo + jnp.where(a3, 32, 0)
     eab = jnp.where(a3, eab, ev)
+    acw = jnp.where(a3, ev, acw)
     steps = (16, 8, 4, 2)
     if len(consts) == 16:  # stride-16 level hoisted (bisect_consts levels=4)
         ev = _level4_select(a1, a2, a3, consts[8:])
         a4 = t >= ev
         lo = lo + jnp.where(a4, 16, 0)
         eab = jnp.where(a4, eab, ev)
+        acw = jnp.where(a4, ev, acw)
         steps = (8, 4, 2)
     for step in steps:
         e = lo + (step - 1)  # odd entry -> row 1
@@ -239,11 +268,13 @@ def _bisect_core(cn_rows, t, shape, consts):
         acc = t >= cv
         lo = jnp.where(acc, lo + step, lo)
         eab = jnp.where(acc, eab, cv)
+        acw = jnp.where(acc, cv, acw)
     cv = jnp.take_along_axis(row0, srl(lo, 1), axis=1)  # even entry lo
     acc = t >= cv
     sym = jnp.where(acc, lo + 1, lo)
     eab = jnp.where(acc, eab, cv)
-    return sym, eab
+    acw = jnp.where(acc, cv, acw)
+    return sym, acw, eab
 
 
 def bisect_consts(cn_rows, shape, fused: bool = False, levels: int = 3):
@@ -417,6 +448,32 @@ def mul_u32_u64(a, b_hi, b_lo, d=None):
     s3 = srl(s2, 16) + srl(p02, 16) + srl(p11, 16) \
         + a0 * b3 + a1 * b2  # full products fine: only low 16 bits kept
     return (c2 | (s3 << 16)), (c0 | (c1 << 16))
+
+
+def mul_u32_u32_64(a, b, d=None):
+    """(a * b + d) exact 64-bit product of two 32-bit unsigned lanes plus
+    an optional addend d < 2^31, as an (hi, lo) int32 pair.
+
+    The sb == 31 RANS64 decode advance: x < 2^63 makes y = x >> 31 a pure
+    32-bit value (y_hi provably 0), so the general 32x64 schoolbook
+    (mul_u32_u64, 7 partial products) collapses to 4.  Same 16-bit-limb
+    carry discipline: every column sum < 2^18, exact in int32.
+    """
+    a0 = a & 0xFFFF
+    a1 = srl(a, 16)
+    b0 = b & 0xFFFF
+    b1 = srl(b, 16)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    if d is not None:
+        p00 = p00 + (d & 0xFFFF)  # both < 2^32 jointly: p00 + d_lo < 2^32
+    mid = srl(p00, 16) + (p01 & 0xFFFF) + (p10 & 0xFFFF)
+    if d is not None:
+        mid = mid + srl(d, 16)
+    lo = (p00 & 0xFFFF) | (mid << 16)
+    hi = a1 * b1 + srl(p01, 16) + srl(p10, 16) + srl(mid, 16)
+    return hi, lo
 
 
 def mulhi64(a_hi, a_lo, b_hi, b_lo):

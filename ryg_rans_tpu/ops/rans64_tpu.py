@@ -160,7 +160,9 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
         bconsts = lanes.bisect_consts(fc[4:6], (R, 128), fused=True,
                                       levels=lv)
     elif s4rows > 16:
-        bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=(sb <= 15),
+        # fused=True also at sb == 16: the track2 search needs the
+        # entry-255 reject-tracker seed
+        bconsts = lanes.bisect_consts(fc[2:4], (R, 128), fused=True,
                                       levels=lv)
     else:
         bconsts = None
@@ -168,14 +170,23 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
     def substep(hi, lo, base, spk, k, woff):
         slot = lo & M1
         if wide:
-            # full-width (6,128) tables (host_prep.pack_wide_fc): bisect
-            # keys rows 4-5, freq-1 rows 0-1; the search tracks
-            # cum[sym+1] for free, so cum[sym] = cum[sym+1] - freq
-            # replaces the separate cum-row lookup (lanes.py, r3)
-            sym, cn = lanes.cum2sym_bisect_track(fc[4:6], slot, (R, 128),
-                                                 consts=bconsts)
-            freq = lanes.table_lookup(fc[0:2], sym, 2, (R, 128)) + 1
-            cumv = cn - freq
+            # full-width tables (host_prep.pack_wide_fc), biased bisect
+            # keys rows 4-5.  The search tracks BOTH neighbor keys (r5,
+            # lanes.cum2sym_bisect_track2): acc = biased cum[sym], rej =
+            # biased cum[sym+1], so freq = rej - acc and the advance's
+            # (slot - cum[sym]) = probe - acc come out of the search with
+            # NO per-symbol fc gather (the r4 form still paid a dependent
+            # 2-row freq lookup) and no un-biasing xors (the common bias
+            # cancels in the differences).  probe = slot ^ 2^31 collapses
+            # to lo | 2^31 at sb == 31 (the & mask clears only the bit
+            # the xor sets).
+            probe = (lo | lanes.I32_MIN) if sb == 31 \
+                else (slot ^ lanes.I32_MIN)
+            sym, acc, rej = lanes.cum2sym_bisect_track2(
+                fc[4:6], probe, (R, 128), consts=bconsts,
+                acc_init=lanes.I32_MIN)  # biased cum[0] = 0 ^ 2^31
+            freq = rej - acc
+            d32 = probe - acc
         elif s4rows > 16:
             # binary search on cum beats the 4-packed cum2sym sweep
             # once the slot table exceeds 16 rows (prob_bits >= 14);
@@ -184,11 +195,13 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
                 sym, freq, cumv = lanes.cum2sym_bisect_fused(
                     fc[2:4], slot, sb, (R, 128), consts=bconsts)
             else:
-                sym = lanes.cum2sym_bisect(fc[2:4], slot, (R, 128),
-                                           consts=bconsts)
-                e = lanes.table_lookup(fc, sym, 2, (R, 128))
-                freq = lanes.srl(e, 16) + 1  # fc packs freq-1
-                cumv = e & 0xFFFF
+                # sb == 16: plain cum[s+1] keys; both tracked neighbors
+                # give freq and cum with no fc gather (r5, as the wide
+                # path; keys < 2^31 so no bias is involved)
+                sym, acc, rej = lanes.cum2sym_bisect_track2(
+                    fc[2:4], slot, (R, 128), consts=bconsts, acc_init=0)
+                freq = rej - acc
+                cumv = acc
         else:
             s4 = lanes.table_lookup(sym4, lanes.srl(slot, 2), s4rows,
                                     (R, 128))
@@ -201,13 +214,18 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
         # so it folds into the limb product (one-limb) or needs only a
         # non-negative carry (two-limb)
         y_lo = lanes.srl(lo, sb) | (hi << (32 - sb))
-        y_hi = lanes.srl(hi, sb)
-        d = slot - cumv
         if wide:
-            # d in [0, freq) < 2^31 folds into the limb product's low
-            # columns (lanes.mul_u32_u64) -- no 64-bit carry-add (r4)
-            hi, lo = lanes.mul_u32_u64(freq, y_hi, y_lo, d)
+            d = d32
+            if sb == 31:
+                # x < 2^63 makes y = x >> 31 pure 32-bit (y_hi provably
+                # 0): the 32x64 schoolbook collapses to 4 partials (r5)
+                hi, lo = lanes.mul_u32_u32_64(freq, y_lo, d)
+            else:
+                y_hi = lanes.srl(hi, sb)
+                hi, lo = lanes.mul_u32_u64(freq, y_hi, y_lo, d)
         else:
+            y_hi = lanes.srl(hi, sb)
+            d = slot - cumv
             hi, lo = _mul_u16_u64(freq, y_hi, y_lo, d)
         spk = spk | (sym << (8 * k))
         # renorm: <=1 whole word (rans64.h:134-139); monotone

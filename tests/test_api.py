@@ -154,7 +154,8 @@ def test_decompress_to_device(book1_head, variant):
     assert bytes(np.asarray(out).tobytes()) == data
 
 
-@pytest.mark.parametrize("pb", [20, 31])
+@pytest.mark.parametrize("pb", [
+    20, pytest.param(31, marks=pytest.mark.slow)])
 def test_cross_backend_rans64_high_precision(book1_head, pb):
     """RANS64 near-entropy precision (rans64.h:169): numpy, native, and
     the TPU kernel path must produce the identical container at
@@ -189,8 +190,10 @@ def test_decompress_to_device_raw_blocks(book1_head, rng):
 
 
 @pytest.mark.parametrize("variant,pb", [
-    (Variant.WORD, 12), (Variant.BYTE, 14), (Variant.ALIAS, 16),
-    (Variant.RANS64, 14), (Variant.RANS64, 20),
+    (Variant.WORD, 12), (Variant.BYTE, 14),
+    pytest.param(Variant.ALIAS, 16, marks=pytest.mark.slow),
+    (Variant.RANS64, 14),
+    pytest.param(Variant.RANS64, 20, marks=pytest.mark.slow),
 ])
 def test_compress_from_device_matches_host(book1_head, variant, pb):
     """Device-side compression produces the byte-identical container the

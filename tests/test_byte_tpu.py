@@ -20,7 +20,8 @@ def _cfg(variant, n_lanes=128, block_symbols=1 << 13):
 
 @pytest.mark.parametrize("variant", [Variant.BYTE, Variant.ALIAS])
 # 17000 spans two full blocks -> exercises the encode kernel's ilp=2 path
-@pytest.mark.parametrize("size", [2048, 9000, 17000])
+@pytest.mark.parametrize("size", [2048, 9000,
+                                  pytest.param(17000, marks=pytest.mark.slow)])
 def test_tpu_encode_matches_oracle(book1_head, variant, size):
     cfg = _cfg(variant)
     data = book1_head[:size]
@@ -43,7 +44,8 @@ def test_tpu_encode_matches_oracle(book1_head, variant, size):
 
 
 @pytest.mark.parametrize("sb", [9, 12, 16])
-@pytest.mark.parametrize("size", [2048, 17000])
+@pytest.mark.parametrize(
+    "size", [2048, pytest.param(17000, marks=pytest.mark.slow)])
 def test_alias_seed_bisect_matches_standard(book1_head, sb, size):
     """The seeded encoder (pack_alias_seed, r4 A/B: per-symbol lo4 bounds
     the segment bisect to 5 levels) must emit streams byte-identical to

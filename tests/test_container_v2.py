@@ -26,7 +26,8 @@ def _payloads(cfg, data):
 
 @pytest.mark.parametrize("variant,pb", [
     (Variant.WORD, 12), (Variant.BYTE, 14), (Variant.ALIAS, 16),
-    (Variant.RANS64, 14), (Variant.RANS64, 31)])
+    (Variant.RANS64, 14),
+    pytest.param(Variant.RANS64, 31, marks=pytest.mark.slow)])
 def test_v1_v2_same_contents(variant, pb, book1_head):
     cfg = RansConfig(variant=variant, prob_bits=pb, n_lanes=512,
                      block_symbols=1 << 14)

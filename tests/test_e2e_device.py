@@ -18,7 +18,8 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 SCRIPT = ROOT / "benchmarks" / "bench_e2e_device.py"
 
 
-@pytest.mark.parametrize("pb", [11, 12])
+@pytest.mark.parametrize("pb", [
+    11, pytest.param(12, marks=pytest.mark.slow)])
 def test_tiny_pipeline_roundtrips(pb):
     out = subprocess.run(
         [sys.executable, str(SCRIPT), "--tiny", "--pb", str(pb)],

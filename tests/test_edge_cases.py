@@ -85,8 +85,9 @@ def test_raw_block_fallback_mixed(rng, book1_head):
         assert api.decompress(blob, backend="native") == data
 
 
-@pytest.mark.parametrize("variant", [Variant.WORD, Variant.BYTE,
-                                     Variant.ALIAS, Variant.RANS64])
+@pytest.mark.parametrize("variant", [
+    Variant.WORD, Variant.BYTE, Variant.ALIAS,
+    pytest.param(Variant.RANS64, marks=pytest.mark.slow)])
 def test_fuzz_roundtrip_tpu_kernels(variant, rng):
     """Randomized lengths/contents through the Pallas kernels (interpret)."""
     for trial in range(3):

@@ -17,7 +17,8 @@ def _cfg(n_lanes=128, block_symbols=1 << 13, prob_bits=14):
 
 
 # 17000 spans two full blocks -> exercises the encode kernel's ilp=2 path
-@pytest.mark.parametrize("size", [2048, 9000, 17000])
+@pytest.mark.parametrize("size", [2048, 9000,
+                                  pytest.param(17000, marks=pytest.mark.slow)])
 def test_tpu_encode_matches_oracle(book1_head, size):
     cfg = _cfg()
     data = book1_head[:size]
@@ -38,7 +39,8 @@ def test_tpu_encode_matches_oracle(book1_head, size):
         off += chunk.size
 
 
-@pytest.mark.parametrize("size", [2048, 20000])
+@pytest.mark.parametrize(
+    "size", [2048, pytest.param(20000, marks=pytest.mark.slow)])
 def test_tpu_decode_roundtrip(book1_head, size):
     cfg = _cfg()
     data = book1_head[:size]
@@ -78,7 +80,8 @@ def test_skewed_model_roundtrip(rng):
     assert np.array_equal(dec[:data.size], data)
 
 
-@pytest.mark.parametrize("pb", [16, 20, 24, 31])
+@pytest.mark.parametrize("pb", [
+    16, 20, pytest.param(24, marks=pytest.mark.slow), 31])
 def test_high_precision_encode_and_roundtrip(book1_head, pb):
     """The reference's defining RANS64 feature: prob_bits up to 31
     (rans64.h:169).  pb > 16 exercises two-limb frequencies on decode and
@@ -114,6 +117,7 @@ def test_high_precision_skewed_model(rng, pb):
     assert np.array_equal(dec[:data.size], data)
 
 
+@pytest.mark.slow
 def test_recip_matches_div_encode(book1_head):
     """At low prob_bits both encode paths must produce identical streams
     (VERDICT r1 #7 A/B: reciprocal vs fp32 exact_div)."""

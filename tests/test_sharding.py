@@ -88,7 +88,9 @@ def test_sharded_roundtrip_ragged_blocks(mesh8, book1_head):
 
 @pytest.mark.parametrize("variant,pb", [
     (Variant.BYTE, 14), (Variant.ALIAS, 16), (Variant.RANS64, 14),
-    (Variant.RANS64, 20),  # two-limb + reciprocal path sharded
+    # two-limb + reciprocal path sharded; dryrun_multichip also runs
+    # RANS64 pb=20 on every driver invocation
+    pytest.param(Variant.RANS64, 20, marks=pytest.mark.slow),
 ])
 def test_sharded_roundtrip_all_variants(mesh8, book1_head, variant, pb):
     """roundtrip_step is variant-generic (VERDICT r1 #6): every variant's

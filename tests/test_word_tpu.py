@@ -40,7 +40,8 @@ def test_tpu_encode_matches_oracle(book1_head, size):
         off += chunk.size
 
 
-@pytest.mark.parametrize("size", [2048, 9000, 20000])
+@pytest.mark.parametrize("size", [2048, 9000,
+                                  pytest.param(20000, marks=pytest.mark.slow)])
 def test_tpu_decode_roundtrip(book1_head, size):
     """Multi-block round-trip including a short tail block."""
     cfg = _cfg()
@@ -106,7 +107,8 @@ def test_mulhi32(rng):
     assert np.array_equal(got, hi)
 
 
-@pytest.mark.parametrize("pb", [14, 15])
+@pytest.mark.parametrize("pb", [
+    pytest.param(14, marks=pytest.mark.slow), 15])
 def test_word_high_precision_roundtrip(book1_head, pb):
     """prob_bits beyond the reference's fixed 12 (bisect lookup path)."""
     cfg = RansConfig(variant=Variant.WORD, prob_bits=pb, n_lanes=128,
@@ -122,7 +124,8 @@ def test_word_high_precision_roundtrip(book1_head, pb):
     assert np.array_equal(dec[:data.size], data)
 
 
-@pytest.mark.parametrize("pb", [11, 12])
+@pytest.mark.parametrize("pb", [
+    pytest.param(11, marks=pytest.mark.slow), 12])
 def test_word_slot_direct_roundtrip(book1_head, pb):
     """A/B slot-direct decode (host_prep.pack_slot_direct): one-level
     sym|freq-1|off per-slot table, must reproduce the two-level path."""
