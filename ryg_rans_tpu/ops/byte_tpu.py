@@ -743,10 +743,13 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
     tables = enc_tables(cfg, freqs, cum_freqs, seed_bisect=seed_bisect)
     seeded = len(tables) == 3  # pack_alias_seed may decline (wide bands)
     n_full, tail = _split_blocks(cfg, padded.size)
+    B = cfg.block_symbols
 
-    out_blocks: list[np.ndarray] = []
+    # Pipelined dispatch (r5): enqueue every group's transfer + kernels
+    # WITHOUT blocking, fetch afterwards (host_prep.block_groups).
+    pend: list = []
 
-    def run(chunk: np.ndarray, n_blocks: int):
+    def dispatch(chunk: np.ndarray, n_blocks: int):
         T = chunk.size // n_blocks // N
         T4 = T // 4
         spk = word_tpu.pack_symbols(jnp.asarray(chunk), T4, R, n_blocks)
@@ -755,16 +758,19 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
                                  interpret=interpret, seed_bisect=seeded,
                                  ilp=host_prep.pick_ilp(n_blocks, 5 * T * N))
         cap = 2 * T * N  # <=2 bytes per symbol
-        buf, n_bytes = compact_emissions(emit, xf, cap, n_blocks)
-        buf_np = np.asarray(buf)
-        for b in range(n_blocks):
-            nb = int(n_bytes[b])
-            out_blocks.append(buf_np[b, :nb].astype(np.uint8))
+        pend.append((*compact_emissions(emit, xf, cap, n_blocks), n_blocks))
 
-    if n_full:
-        run(padded[:n_full * cfg.block_symbols], n_full)
+    for g, nb in host_prep.block_groups(n_full):
+        dispatch(padded[g * B:(g + nb) * B], nb)
     if tail:
-        run(padded[n_full * cfg.block_symbols:], 1)
+        dispatch(padded[n_full * B:], 1)
+
+    out_blocks: list[np.ndarray] = []
+    for buf, n_bytes, n_blocks in pend:
+        buf_np = np.asarray(buf)
+        n_np = np.asarray(n_bytes)  # one fetch per group, not per block
+        for b in range(n_blocks):
+            out_blocks.append(buf_np[b, :int(n_np[b])].astype(np.uint8))
     return out_blocks, padded.size
 
 
@@ -782,15 +788,18 @@ def decode(cfg: RansConfig, byte_blocks: list[np.ndarray],
     tables = dec_tables(cfg, freqs, cum_freqs)
     n_full, tail = _split_blocks(cfg, n_symbols_padded)
     assert len(byte_blocks) == n_full + (1 if tail else 0)
+    # one GLOBAL capacity so every full group shares one compiled shape
+    cap_rows = decode_cap_rows(max(b.size for b in byte_blocks), R)
 
-    outs: list[np.ndarray] = []
+    # Pipelined dispatch (r5): enqueue every group's transfer + kernels
+    # WITHOUT blocking, fetch afterwards (host_prep.block_groups).
+    pend: list = []
 
-    def run(blocks: list[np.ndarray], n_symbols_block: int):
+    def dispatch(blocks: list[np.ndarray], n_symbols_block: int):
         n_blocks = len(blocks)
         T = n_symbols_block // N
         T4 = T // 4
         max_bytes = max(b.size for b in blocks)
-        cap_rows = decode_cap_rows(max_bytes, R)
         buf = np.zeros((n_blocks, max_bytes), np.int32)
         for i, b in enumerate(blocks):
             buf[i, :b.size] = b.astype(np.int32)
@@ -806,11 +815,12 @@ def decode(cfg: RansConfig, byte_blocks: list[np.ndarray],
                             ilp=host_prep.pick_ilp(
                                 n_blocks, n_symbols_block + cap_rows * 512,
                                 prefer=(2,) if alias else (3, 2)))
-        outs.append(np.asarray(word_tpu.unpack_symbols(spk, T4, R, n_blocks)))
+        pend.append(word_tpu.unpack_symbols(spk, T4, R, n_blocks))
 
-    if n_full:
-        run(byte_blocks[:n_full], cfg.block_symbols)
+    for g, nb in host_prep.block_groups(n_full):
+        dispatch(byte_blocks[g:g + nb], cfg.block_symbols)
     if tail:
-        run(byte_blocks[n_full:],
-            n_symbols_padded - n_full * cfg.block_symbols)
+        dispatch(byte_blocks[n_full:],
+                 n_symbols_padded - n_full * cfg.block_symbols)
+    outs = [np.asarray(p) for p in pend]
     return np.concatenate(outs) if outs else np.zeros(0, np.uint8)

@@ -482,10 +482,14 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
     padded, _ = pad_block(np.asarray(data, np.uint8), N, freqs)
     enc_rows = jnp.asarray(pack_enc_rows(freqs, cum_freqs, cfg.prob_bits))
     n_full, tail = _split_blocks(cfg, padded.size)
+    B = cfg.block_symbols
 
-    out_blocks: list[np.ndarray] = []
+    # Pipelined dispatch (r5): enqueue every group's transfer + kernels
+    # WITHOUT blocking, fetch afterwards -- group N+1's h2d transfer and
+    # host prep overlap group N's compute (host_prep.block_groups).
+    pend: list = []
 
-    def run(chunk: np.ndarray, n_blocks: int):
+    def dispatch(chunk: np.ndarray, n_blocks: int):
         T = chunk.size // n_blocks // N
         T4 = T // 4
         spk = pack_symbols(jnp.asarray(chunk), T4, R, n_blocks)
@@ -494,16 +498,19 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
                                  n_blocks=n_blocks, interpret=interpret,
                                  ilp=host_prep.pick_ilp(n_blocks, 5 * T * N))
         cap = T * N  # <=1 word per symbol
-        words, n_words = compact_emissions(emit, xf, cap, n_blocks)
-        words_np = np.asarray(words)
-        for b in range(n_blocks):
-            nb = int(n_words[b])
-            out_blocks.append(words_np[b, :nb].astype(np.uint16))
+        pend.append((*compact_emissions(emit, xf, cap, n_blocks), n_blocks))
 
-    if n_full:
-        run(padded[:n_full * cfg.block_symbols], n_full)
+    for g, nb in host_prep.block_groups(n_full):
+        dispatch(padded[g * B:(g + nb) * B], nb)
     if tail:
-        run(padded[n_full * cfg.block_symbols:], 1)
+        dispatch(padded[n_full * B:], 1)
+
+    out_blocks: list[np.ndarray] = []
+    for words, n_words, n_blocks in pend:
+        words_np = np.asarray(words)
+        n_np = np.asarray(n_words)  # one fetch per group, not per block
+        for b in range(n_blocks):
+            out_blocks.append(words_np[b, :int(n_np[b])].astype(np.uint16))
     return out_blocks, padded.size
 
 
@@ -520,15 +527,18 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
     sym4_rows, fc_rows = jnp.asarray(s4), jnp.asarray(fc)
     n_full, tail = _split_blocks(cfg, n_symbols_padded)
     assert len(word_blocks) == n_full + (1 if tail else 0)
+    # one GLOBAL capacity so every full group shares one compiled shape
+    cap_rows = decode_cap_rows(max(b.size for b in word_blocks), R)
 
-    outs: list[np.ndarray] = []
+    # Pipelined dispatch (r5): enqueue every group's transfer + kernels
+    # WITHOUT blocking, fetch afterwards (host_prep.block_groups).
+    pend: list = []
 
-    def run(blocks: list[np.ndarray], n_symbols_block: int):
+    def dispatch(blocks: list[np.ndarray], n_symbols_block: int):
         n_blocks = len(blocks)
         T = n_symbols_block // N
         T4 = T // 4
         max_words = max(b.size for b in blocks)
-        cap_rows = decode_cap_rows(max_words, R)
         buf = np.zeros((n_blocks, max_words), np.int32)
         for i, b in enumerate(blocks):
             buf[i, :b.size] = b.astype(np.int32)
@@ -539,10 +549,12 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
                             n_blocks=n_blocks, interpret=interpret,
                             ilp=host_prep.pick_ilp(
                                 n_blocks, n_symbols_block + cap_rows * 512))
-        outs.append(np.asarray(unpack_symbols(spk, T4, R, n_blocks)))
+        pend.append(unpack_symbols(spk, T4, R, n_blocks))
 
-    if n_full:
-        run(word_blocks[:n_full], cfg.block_symbols)
+    for g, nb in host_prep.block_groups(n_full):
+        dispatch(word_blocks[g:g + nb], cfg.block_symbols)
     if tail:
-        run(word_blocks[n_full:], n_symbols_padded - n_full * cfg.block_symbols)
+        dispatch(word_blocks[n_full:],
+                 n_symbols_padded - n_full * cfg.block_symbols)
+    outs = [np.asarray(p) for p in pend]
     return np.concatenate(outs) if outs else np.zeros(0, np.uint8)
