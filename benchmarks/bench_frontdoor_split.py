@@ -1,0 +1,194 @@
+"""Front-door wall-clock SPLIT: overlapped vs transfer-only vs compute-only.
+
+The r4 verdict's ask (#2): the public compress/decompress wall clock was
+3 orders below kernel rate with the tunnel-boundness asserted, not
+quantified.  This artifact measures, per (op, size):
+
+* ``overlapped_gbs``  -- the real front door (api.compress/decompress,
+  r5 pipelined group dispatch), whole pipeline incl. model build,
+  container, CRC -- the reference's own timing posture (main.cpp:169-186);
+* ``transfer_only_gbs`` -- just moving the same bytes across the
+  host<->device link (h2d input + d2h output for compress; h2d payload +
+  d2h symbols for decompress), no codec at all -- the link ceiling;
+* ``compute_only_gbs`` -- the device-resident codec rate (fused decode /
+  dense encode + compaction) with data pre-staged, dispatch-slope
+  measured (elision-safe, docs/DESIGN.md);
+* ``overlap_ratio`` -- overlapped_time / max(transfer_time, compute_time):
+  1.0 = perfect overlap of the bottleneck leg; the r5 target is <= 1.25
+  (overlapped >= 0.8x the bottleneck's throughput).
+
+Each timed rep flips one input byte (fresh host buffers prepared outside
+the timed region) so the remote runtime cannot dedupe transfers or
+dispatches.  Run: `python benchmarks/bench_frontdoor_split.py [out.json]`.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def _best(fn, reps=5):
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        fn(i)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ryg_rans_tpu import api
+    from ryg_rans_tpu.config import RansConfig
+    from ryg_rans_tpu.models import stats
+    from ryg_rans_tpu.utils.profiling import dispatch_slope
+
+    book1 = np.frombuffer(open("/root/reference/book1", "rb").read(),
+                          np.uint8)
+    rows = []
+    for size in (1 << 25, 1 << 27):
+        data = np.tile(book1, size // book1.size + 1)[:size]
+        cfg = RansConfig.auto(size)
+        mod = api._tpu_mod(cfg)
+
+        # fresh per-rep variants so transfers/dispatches can't be deduped
+        variants = []
+        for i in range(5):
+            v = data.copy()
+            v[0] = (int(v[0]) + i) & 0xFF
+            variants.append(v)
+        blobs = [api.compress(v, cfg, backend="tpu") for v in variants[:1]]
+        blob = blobs[0]
+        assert api.decompress(blob, backend="tpu") == variants[0].tobytes()
+        blobs = [api.compress(v, cfg, backend="tpu") for v in variants]
+
+        # --- overlapped: the real front door ---------------------------
+        t_comp = _best(lambda i: api.compress(variants[i], cfg,
+                                              backend="tpu"))
+        t_dec = _best(lambda i: api.decompress(blobs[i], backend="tpu"))
+
+        # --- transfer-only: the link ceiling ----------------------------
+        from ryg_rans_tpu.utils import container as cont
+        c = cont.unpack(blob)
+        payload_bytes = np.frombuffer(bytes(blob), np.uint8)
+        pay_vars = [payload_bytes.copy() for _ in range(5)]
+        for i, p in enumerate(pay_vars):
+            p[-1] = (int(p[-1]) + i) & 0xFF
+
+        dev_syms = jax.device_put(jnp.asarray(variants[0]))
+        jax.block_until_ready(dev_syms)
+
+        def h2d(arrs):
+            def f(i):
+                jax.block_until_ready(jax.device_put(jnp.asarray(arrs[i])))
+            return f
+
+        t_h2d_data = _best(h2d(variants))          # compress input
+        t_d2h_syms = _best(lambda i: np.asarray(dev_syms))  # decode output
+        t_h2d_pay = _best(h2d(pay_vars))           # decode input
+        # compress output d2h ~ payload size: reuse the payload transfer
+        t_transfer_comp = t_h2d_data + t_h2d_pay   # in + out bytes
+        t_transfer_dec = t_h2d_pay + t_d2h_syms
+
+        # --- compute-only: device-resident codec (dispatch slope) -------
+        freqs, cum = stats.build_model(data, cfg.prob_bits)
+        blocks, padded = mod.encode(cfg, data, freqs, cum, interpret=False)
+        R = cfg.n_lanes // 128
+        N = cfg.n_lanes
+        B = cfg.block_symbols
+        n_blocks = len(blocks)
+        T4 = B // N // 4
+        cap_rows = mod.decode_cap_rows(max(b.size for b in blocks), R)
+        wide = np.zeros((n_blocks, max(b.size for b in blocks)), np.int64)
+        for i, b in enumerate(blocks):
+            wide[i, :b.size] = b
+        buf = jnp.asarray(wide.astype(np.int32))
+        from ryg_rans_tpu.config import Variant
+        alias = cfg.variant == Variant.ALIAS
+
+        if cfg.variant in (Variant.BYTE, Variant.ALIAS):
+            tables = mod.dec_tables(cfg, freqs, cum)
+            dec_fn = functools.partial(
+                mod.decode_fused, tables, T4=T4, R=R, sb=cfg.prob_bits,
+                cap_rows=cap_rows, n_blocks=n_blocks, alias=alias,
+                ilp=2 if n_blocks % 2 == 0 else 1)
+        else:
+            s4, fc = (mod.pack_dec_rows2(freqs, cum, cfg.prob_bits)
+                      if cfg.variant == Variant.WORD
+                      else mod.pack_dec_tables(freqs, cum, cfg.prob_bits))
+            tabs = (jnp.asarray(s4) if s4 is not None else None,
+                    jnp.asarray(fc))
+            dec_fn = functools.partial(
+                mod.decode_fused, *tabs, T4=T4, R=R, sb=cfg.prob_bits,
+                cap_rows=cap_rows, n_blocks=n_blocks,
+                ilp=2 if n_blocks % 2 == 0 else 1)
+
+        def make_chained(reps):
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def many(b, n):
+                def one(cst, _):
+                    moved = jnp.where(cst == jnp.int32(123456789),
+                                      b ^ 1, b)
+                    out = dec_fn(moved)
+                    return cst ^ out[0].astype(jnp.int32), None
+                cst, _ = jax.lax.scan(one, jnp.int32(0), jnp.arange(n))
+                return cst
+
+            return lambda: jax.block_until_ready(many(buf, reps))
+
+        sec_per_rep = dispatch_slope(make_chained, lo=2, hi=10, tries=3)
+        t_compute_dec = max(sec_per_rep, 1e-9)
+
+        def ratio(t_over, t_trans, t_cpu):
+            return round(t_over / max(t_trans, t_cpu), 3)
+
+        row = {
+            "bytes": size,
+            "overlapped_compress_gbs": round(size / t_comp / 1e9, 4),
+            "overlapped_decompress_gbs": round(size / t_dec / 1e9, 4),
+            "transfer_only_compress_gbs":
+                round(size / t_transfer_comp / 1e9, 4),
+            "transfer_only_decompress_gbs":
+                round(size / t_transfer_dec / 1e9, 4),
+            "compute_only_decode_gbs":
+                round(size / t_compute_dec / 1e9, 3),
+            "compress_overlap_ratio":
+                ratio(t_comp, t_transfer_comp, 0.0),
+            "decompress_overlap_ratio":
+                ratio(t_dec, t_transfer_dec, t_compute_dec),
+            "splits_s": {
+                "overlapped_compress": round(t_comp, 4),
+                "overlapped_decompress": round(t_dec, 4),
+                "h2d_input": round(t_h2d_data, 4),
+                "h2d_payload": round(t_h2d_pay, 4),
+                "d2h_symbols": round(t_d2h_syms, 4),
+                "compute_decode": round(t_compute_dec, 4),
+            },
+        }
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    rec = {
+        "note": "front-door split (r5 pipelined group dispatch): "
+                "overlap_ratio = overlapped_time / max(transfer_time, "
+                "compute_time); 1.0 = perfect overlap, target <= 1.25. "
+                "This chip sits behind a remote tunnel (~75-80 MB/s), so "
+                "transfer_only IS the wall; on a locally-attached host "
+                "the same split re-measures with PCIe as the link.",
+        "rows": rows}
+    if len(sys.argv) > 1:
+        json.dump(rec, open(sys.argv[1], "w"), indent=1)
+        print("wrote", sys.argv[1], flush=True)
+
+
+if __name__ == "__main__":
+    main()

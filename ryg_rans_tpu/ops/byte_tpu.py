@@ -212,8 +212,10 @@ def decode_cap_rows(max_bytes: int, R: int) -> int:
 
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
-                   ilp: int = 1, hoist4: bool = False):
+                   ilp: int = 1, hoist4: bool = False, bp: bool = True):
     """Decode one block: 4*T4 steps over (R,128) lanes, 8-bit renorm."""
+    if bp:  # byte-plane window scratches are the LAST 4 refs (scratch)
+        refs, plane_refs = refs[:-4], refs[-4:]
     if alias:
         div_ref, pa_ref, adj_ref, x0_ref, stream4_ref, out_ref = refs
         div = div_ref[:]
@@ -227,6 +229,8 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         sym4 = sym4_ref[:]
         fc = fc_ref[:]
         s4rows = (1 << sb) // 512
+    if bp:  # hoist the stream's byte-plane split out of the symbol loop
+        lanes.fill_byte_planes(plane_refs, stream4_ref[:])
     tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
            ).astype(jnp.float32)
@@ -315,9 +319,15 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         rel1 = jax.lax.shift_right_logical(idx1, 9) - brow
         col0 = jax.lax.shift_right_logical(idx0, 2) & 127
         col1 = jax.lax.shift_right_logical(idx1, 2) & 127
-        win = stream4_ref[pl.ds(woff + brow, WMAX), :]
-        v0, v1 = lanes.window_fetch_mono2(win, row_rel, (rel0, rel1),
-                                          (col0, col1), WMAX, (R, 128))
+        if bp:
+            win0 = [p[pl.ds(woff + brow, WMAX), :] for p in plane_refs]
+            win1 = [p[pl.ds(woff + brow + 1, WMAX), :] for p in plane_refs]
+            v0, v1 = lanes.window_fetch_mono2_bp(
+                win0, win1, row_rel, (rel0, rel1), (col0, col1), (R, 128))
+        else:
+            win = stream4_ref[pl.ds(woff + brow, WMAX), :]
+            v0, v1 = lanes.window_fetch_mono2(win, row_rel, (rel0, rel1),
+                                              (col0, col1), WMAX, (R, 128))
         b0 = lanes.srl(v0, (idx0 & 3) << 3) & 0xFF
         b1 = lanes.srl(v1, (idx1 & 3) << 3) & 0xFF
         x = jnp.where(m2, (x << 16) | (b0 << 8) | b1,
@@ -346,11 +356,11 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "alias", "interpret",
-                                             "ilp", "hoist4"))
+                                             "ilp", "hoist4", "bp"))
 def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
                   cap_rows: int, n_blocks: int, alias: bool,
                   interpret: bool = False, ilp: int = 1,
-                  hoist4: bool = False):
+                  hoist4: bool = False, bp: bool = True):
     """Grid decode of n_blocks blocks.
 
     tables: (sym4, fc) for BYTE or (div, pa, adj) for ALIAS; x0
@@ -367,7 +377,7 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
     ]
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, alias=alias,
-                          ilp=ilp, hoist4=hoist4),
+                          ilp=ilp, hoist4=hoist4, bp=bp),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [
@@ -378,6 +388,9 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
         ],
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=(
+            [pltpu.VMEM((ilp * cap_rows, 128), jnp.float32)] * 4
+            if bp else []),
         # big-block shapes exceed the 16M default scoped-vmem limit
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=host_prep.VMEM_LIMIT),

@@ -349,6 +349,67 @@ def window_fetch_mono2(window, row_rel, rels, cols, W: int, shape):
     return tuple(outs)
 
 
+def window_fetch_mono_bp(win0, win1, row_rel, rel, col, shape):
+    """Monotone window gather over BYTE-PLANE windows (r5).
+
+    ``win0``/``win1`` are (W, 512) f32 slices of a per-block byte-plane
+    scratch -- the stream's four 8-bit fields as f32, concatenated along
+    lanes, with win1 offset one row below win0 -- prepared ONCE per grid
+    step (the r2 byte-plane dead end paid the split per-substep; hoisting
+    it flips the economics: the r5 ablation roofline showed the HIGHEST-
+    precision fetch was 66% of the whole RANS64 kernel).  Byte values
+    (<= 255) are exact in bf16, so the candidate dots run at DEFAULT
+    precision (1 MXU pass) instead of HIGHEST (6), and the adjacent-row
+    candidate pair shares ONE one-hot: 2 dots total per substep, 8 MXU
+    tiles vs 24.
+    """
+    R = shape[0]
+    W = win0[0].shape[0]
+    iw = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    oh = (iw == row_rel).astype(jnp.float32)
+
+    def comb(planes):
+        o = [jnp.dot(oh, p, preferred_element_type=jnp.float32)
+             .astype(jnp.int32) for p in planes]
+        return o[0] | (o[1] << 8) | (o[2] << 16) | (o[3] << 24)
+
+    a, b = comb(win0), comb(win1)
+    va = jnp.take_along_axis(a, col, axis=1)
+    vb = jnp.take_along_axis(b, col, axis=1)
+    return jnp.where(rel == row_rel, va, vb)
+
+
+def window_fetch_mono2_bp(win0, win1, row_rel, rels, cols, shape):
+    """window_fetch_mono_bp for several (rel, col) index pairs sharing one
+    candidate fetch (the BYTE variant's two refill bytes per symbol)."""
+    R = shape[0]
+    W = win0[0].shape[0]
+    iw = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    oh = (iw == row_rel).astype(jnp.float32)
+
+    def comb(planes):
+        o = [jnp.dot(oh, p, preferred_element_type=jnp.float32)
+             .astype(jnp.int32) for p in planes]
+        return o[0] | (o[1] << 8) | (o[2] << 16) | (o[3] << 24)
+
+    a, b = comb(win0), comb(win1)
+    outs = []
+    for rel, col in zip(rels, cols):
+        va = jnp.take_along_axis(a, col, axis=1)
+        vb = jnp.take_along_axis(b, col, axis=1)
+        outs.append(jnp.where(rel == row_rel, va, vb))
+    return tuple(outs)
+
+
+def fill_byte_planes(plane_refs, stream):
+    """Write the four 8-bit fields of int32 ``stream`` (rows, 128) into
+    four (rows, 128) f32 scratch refs (window_fetch_mono_bp)."""
+    plane_refs[0][:] = (stream & 0xFF).astype(jnp.float32)
+    plane_refs[1][:] = (srl(stream, 8) & 0xFF).astype(jnp.float32)
+    plane_refs[2][:] = (srl(stream, 16) & 0xFF).astype(jnp.float32)
+    plane_refs[3][:] = srl(stream, 24).astype(jnp.float32)
+
+
 def _mono_candidates(window, row_rel, W: int, shape):
     """The two per-sublane-row candidate window rows, via one-hot MXU dots."""
     R = shape[0]

@@ -138,7 +138,17 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
-                   hoist4: bool = False):
+                   hoist4: bool = False, ablate: str = "", bp: bool = True):
+    # ``ablate`` is a BENCHMARK-ONLY hook (benchmarks/roofline_r64.py):
+    # it stubs one pipeline stage with cheap dependency-preserving math so
+    # the stage's cost can be measured by subtraction (the decode latency
+    # roofline, docs/DESIGN.md).  Ablated kernels do NOT round-trip.
+    #   "lookup" -- the bisect symbol search (constant-ish lookup instead)
+    #   "fetch"  -- the monotone window fetch (keeps the prefix-sum scan)
+    #   "scan"   -- the whole renorm scan + fetch
+    #   "mul"    -- the 64-bit limb advance product
+    if bp:  # byte-plane window scratches are the LAST 4 refs (scratch)
+        refs, plane_refs = refs[:-4], refs[-4:]
     wide = sb > 16  # two-limb frequencies, full-width tables
     s4rows = 0 if wide else (1 << sb) // 512
     if wide or s4rows > 16:  # bisect path needs no cum2sym table in VMEM
@@ -146,6 +156,8 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
     else:
         sym4_ref, fc_ref, x0lo_ref, x0hi_ref, stream_ref, out_ref = refs
         sym4 = sym4_ref[:]
+    if bp:  # hoist the stream's byte-plane split out of the symbol loop
+        lanes.fill_byte_planes(plane_refs, stream_ref[:])
     fc = fc_ref[:]
     tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -169,7 +181,13 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
 
     def substep(hi, lo, base, spk, k, woff):
         slot = lo & M1
-        if wide:
+        if ablate == "lookup":
+            # dependency-preserving stub: sym/freq/d still derive from slot
+            sym = slot & 0xFF
+            freq = (slot & 0x3FF) | 1
+            cumv = jnp.zeros((R, 128), jnp.int32)
+            d32 = slot & 1
+        elif wide:
             # full-width tables (host_prep.pack_wide_fc), biased bisect
             # keys rows 4-5.  The search tracks BOTH neighbor keys (r5,
             # lanes.cum2sym_bisect_track2): acc = biased cum[sym], rej =
@@ -214,7 +232,10 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
         # so it folds into the limb product (one-limb) or needs only a
         # non-negative carry (two-limb)
         y_lo = lanes.srl(lo, sb) | (hi << (32 - sb))
-        if wide:
+        if ablate == "mul":
+            dd = d32 if wide else slot - cumv
+            hi, lo = lanes.srl(hi, sb) ^ freq, y_lo + dd
+        elif wide:
             d = d32
             if sb == 31:
                 # x < 2^63 makes y = x >> 31 pure 32-bit (y_hi provably
@@ -232,16 +253,30 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
         # two-candidate fetch: a row of 128 lanes consumes <=128 words
         # = one window row, so rel stays within {row_rel, row_rel+1}
         m = (hi == 0) & (lo >= 0)          # x < 2^31
+        if ablate == "scan":
+            hi2 = jnp.where(m, lo, hi)
+            lo2 = jnp.where(m, lo ^ 1, lo)
+            return hi2, lo2, base + 1, spk
         mf = m.astype(jnp.float32)
         incl, total, rowstart = lanes.lane_prefix_sum_rows(mf, tri, R)
-        gidx = base + jnp.where(m, incl - 1, 0)
-        brow = jax.lax.shift_right_logical(base, 7)
-        row_rel = jax.lax.shift_right_logical(base + rowstart, 7) - brow
-        rel = jax.lax.shift_right_logical(gidx, 7) - brow
-        col = gidx & 127
-        win = stream_ref[pl.ds(woff + brow, WMAX), :]
-        wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
-                                     (R, 128))
+        if ablate == "fetch":
+            wv = incl ^ lo
+        else:
+            gidx = base + jnp.where(m, incl - 1, 0)
+            brow = jax.lax.shift_right_logical(base, 7)
+            row_rel = jax.lax.shift_right_logical(base + rowstart, 7) - brow
+            rel = jax.lax.shift_right_logical(gidx, 7) - brow
+            col = gidx & 127
+            if bp:
+                win0 = [p[pl.ds(woff + brow, WMAX), :] for p in plane_refs]
+                win1 = [p[pl.ds(woff + brow + 1, WMAX), :]
+                        for p in plane_refs]
+                wv = lanes.window_fetch_mono_bp(win0, win1, row_rel, rel,
+                                                col, (R, 128))
+            else:
+                win = stream_ref[pl.ds(woff + brow, WMAX), :]
+                wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
+                                             (R, 128))
         hi = jnp.where(m, lo, hi)
         lo = jnp.where(m, wv, lo)
         return hi, lo, base + total, spk
@@ -269,11 +304,11 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "interpret", "ilp",
-                                             "hoist4"))
+                                             "hoist4", "ablate", "bp"))
 def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
                   R: int, sb: int, cap_rows: int, n_blocks: int,
                   interpret: bool = False, ilp: int = 1,
-                  hoist4: bool = False):
+                  hoist4: bool = False, ablate: str = "", bp: bool = True):
     """Grid decode.  stream_rows: (n_blocks*cap_rows, 128) raw u32 words."""
     if not interpret and R < 2:
         raise ValueError("compiled TPU decode needs n_lanes >= 256")
@@ -288,7 +323,7 @@ def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
     fc_shape = (6, 128) if sb > 16 else (4, 128)
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, ilp=ilp,
-                          hoist4=hoist4),
+                          hoist4=hoist4, ablate=ablate, bp=bp),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [
@@ -303,6 +338,9 @@ def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
         ],
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=(
+            [pltpu.VMEM((ilp * cap_rows, 128), jnp.float32)] * 4
+            if bp else []),
         # big-block shapes exceed the 16M default scoped-vmem limit
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=host_prep.VMEM_LIMIT),

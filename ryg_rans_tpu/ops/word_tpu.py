@@ -114,7 +114,8 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
                    ilp: int = 1, use_bisect: bool | None = None,
-                   slot_direct: bool = False, hoist4: bool = False):
+                   slot_direct: bool = False, hoist4: bool = False,
+                   bp: bool = True):
     """Decode one block: 4*T4 steps over (R,128) lanes.
 
     Gather-count-optimized (see docs/DESIGN.md):
@@ -125,6 +126,8 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
     * the stream window is fetched with the monotone two-candidate MXU
       gather (lanes.window_fetch_mono), O(1) in window span.
     """
+    if bp:  # byte-plane window scratches are the LAST 4 refs (scratch)
+        refs, plane_refs = refs[:-4], refs[-4:]
     s4rows = (1 << sb) // 128 if slot_direct else (1 << sb) // 512
     bisect = (not slot_direct) and (
         use_bisect if use_bisect is not None else s4rows > 16)
@@ -133,6 +136,8 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
     else:
         sym4_ref, fc_ref, x0_ref, stream2_ref, out_ref = refs
         sym4 = sym4_ref[:]
+    if bp:  # hoist the stream's byte-plane split out of the symbol loop
+        lanes.fill_byte_planes(plane_refs, stream2_ref[:])
     fc = fc_ref[:]
     tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -187,9 +192,15 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
         row_rel = jax.lax.shift_right_logical(base + rowstart, 8) - brow
         col = jax.lax.shift_right_logical(gidx, 1) & 127
         half = (gidx & 1) << 4
-        win = stream2_ref[pl.ds(woff + brow, WMAX), :]
-        wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
-                                     (R, 128))
+        if bp:
+            win0 = [p[pl.ds(woff + brow, WMAX), :] for p in plane_refs]
+            win1 = [p[pl.ds(woff + brow + 1, WMAX), :] for p in plane_refs]
+            wv = lanes.window_fetch_mono_bp(win0, win1, row_rel, rel, col,
+                                            (R, 128))
+        else:
+            win = stream2_ref[pl.ds(woff + brow, WMAX), :]
+            wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
+                                         (R, 128))
         word = lanes.srl(wv, half) & 0xFFFF
         x = jnp.where(m, (x << 16) | word, x)
         return x, base + total, spk
@@ -219,12 +230,13 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "interpret",
                                              "groups", "ilp", "use_bisect",
-                                             "slot_direct", "hoist4"))
+                                             "slot_direct", "hoist4", "bp"))
 def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
                   sb: int, cap_rows: int, n_blocks: int,
                   interpret: bool = False, groups: int = 1,
                   ilp: int = 1, use_bisect: bool | None = None,
-                  slot_direct: bool = False, hoist4: bool = False):
+                  slot_direct: bool = False, hoist4: bool = False,
+                  bp: bool = True):
     """Grid decode of ``n_blocks`` blocks.
 
     x0: (n_blocks*R, 128); stream2_rows: (n_blocks*cap_rows, 128) with renorm
@@ -248,7 +260,7 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, groups=groups,
                           ilp=ilp, use_bisect=use_bisect,
-                          slot_direct=slot_direct, hoist4=hoist4),
+                          slot_direct=slot_direct, hoist4=hoist4, bp=bp),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [
@@ -261,6 +273,9 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
         ],
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=(
+            [pltpu.VMEM((ilp * cap_rows, 128), jnp.float32)] * 4
+            if bp else []),
         # large-R (R=256) and large-block shapes exceed the 16M default
         # scoped-vmem limit; v5e has 128M VMEM (host_prep.VMEM_LIMIT)
         compiler_params=pltpu.CompilerParams(
