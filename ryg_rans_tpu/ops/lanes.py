@@ -363,17 +363,7 @@ def window_fetch_mono_bp(win0, win1, row_rel, rel, col, shape):
     candidate pair shares ONE one-hot: 2 dots total per substep, 8 MXU
     tiles vs 24.
     """
-    R = shape[0]
-    W = win0[0].shape[0]
-    iw = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
-    oh = (iw == row_rel).astype(jnp.float32)
-
-    def comb(planes):
-        o = [jnp.dot(oh, p, preferred_element_type=jnp.float32)
-             .astype(jnp.int32) for p in planes]
-        return o[0] | (o[1] << 8) | (o[2] << 16) | (o[3] << 24)
-
-    a, b = comb(win0), comb(win1)
+    a, b = _bp_candidates(win0, win1, row_rel, shape)
     va = jnp.take_along_axis(a, col, axis=1)
     vb = jnp.take_along_axis(b, col, axis=1)
     return jnp.where(rel == row_rel, va, vb)
@@ -382,17 +372,7 @@ def window_fetch_mono_bp(win0, win1, row_rel, rel, col, shape):
 def window_fetch_mono2_bp(win0, win1, row_rel, rels, cols, shape):
     """window_fetch_mono_bp for several (rel, col) index pairs sharing one
     candidate fetch (the BYTE variant's two refill bytes per symbol)."""
-    R = shape[0]
-    W = win0[0].shape[0]
-    iw = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
-    oh = (iw == row_rel).astype(jnp.float32)
-
-    def comb(planes):
-        o = [jnp.dot(oh, p, preferred_element_type=jnp.float32)
-             .astype(jnp.int32) for p in planes]
-        return o[0] | (o[1] << 8) | (o[2] << 16) | (o[3] << 24)
-
-    a, b = comb(win0), comb(win1)
+    a, b = _bp_candidates(win0, win1, row_rel, shape)
     outs = []
     for rel, col in zip(rels, cols):
         va = jnp.take_along_axis(a, col, axis=1)
@@ -401,13 +381,36 @@ def window_fetch_mono2_bp(win0, win1, row_rel, rels, cols, shape):
     return tuple(outs)
 
 
+def _bp_candidates(win0, win1, row_rel, shape):
+    """The two candidate window rows from byte-plane slices: one bf16
+    one-hot shared by 2x4 DEFAULT-precision (single-pass) dots -- byte
+    values and 0/1 one-hots are exact in bf16, accumulation is f32."""
+    R = shape[0]
+    W = win0[0].shape[0]
+    iw = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    oh = (iw == row_rel).astype(jnp.bfloat16)
+
+    def comb(planes):
+        o = [jnp.dot(oh, p, preferred_element_type=jnp.float32)
+             .astype(jnp.int32) for p in planes]
+        return o[0] | (o[1] << 8) | (o[2] << 16) | (o[3] << 24)
+
+    return comb(win0), comb(win1)
+
+
+#: scratch bytes per stream int32 cell for the byte-plane window fetch
+#: (4 bf16 planes); used by footprint-aware ILP picks
+BP_PLANE_BYTES_PER_CELL = 8
+
+
 def fill_byte_planes(plane_refs, stream):
     """Write the four 8-bit fields of int32 ``stream`` (rows, 128) into
-    four (rows, 128) f32 scratch refs (window_fetch_mono_bp)."""
-    plane_refs[0][:] = (stream & 0xFF).astype(jnp.float32)
-    plane_refs[1][:] = (srl(stream, 8) & 0xFF).astype(jnp.float32)
-    plane_refs[2][:] = (srl(stream, 16) & 0xFF).astype(jnp.float32)
-    plane_refs[3][:] = srl(stream, 24).astype(jnp.float32)
+    four (rows, 128) bf16 scratch refs (window_fetch_mono_bp); bf16 holds
+    0..255 exactly and halves the scratch footprint vs f32."""
+    plane_refs[0][:] = (stream & 0xFF).astype(jnp.bfloat16)
+    plane_refs[1][:] = (srl(stream, 8) & 0xFF).astype(jnp.bfloat16)
+    plane_refs[2][:] = (srl(stream, 16) & 0xFF).astype(jnp.bfloat16)
+    plane_refs[3][:] = srl(stream, 24).astype(jnp.bfloat16)
 
 
 def _mono_candidates(window, row_rel, W: int, shape):
