@@ -818,9 +818,9 @@ def decode(cfg: RansConfig, byte_blocks: list[np.ndarray],
             buf[i, :b.size] = b.astype(np.int32)
         x0, stream4 = prep_decode(jnp.asarray(buf), R, cap_rows, n_blocks)
         # BYTE's third independent block chain measured +4% in one
-        # same-process A/B (12.51 vs 12.07) and neutral in a full run
-        # (12.13) -- never worse, so prefer it; ALIAS measured
-        # neutral-to-worse at ilp 3/4 and stays at 2
+        # same-process A/B (12.51 vs 12.07) and never worse, so prefer
+        # it; ALIAS re-measured with the r5 byte-plane fetch: ilp=3 wins
+        # (17.27 vs 16.27 GB/s, AB_BP_ALL_r05) -- both now prefer 3
         spk = decode_blocks(tables, x0, stream4, T4=T4, R=R,
                             sb=cfg.prob_bits, cap_rows=cap_rows,
                             n_blocks=n_blocks, alias=alias,
@@ -829,7 +829,7 @@ def decode(cfg: RansConfig, byte_blocks: list[np.ndarray],
                                 n_blocks, n_symbols_block + cap_rows * 512
                                 + cap_rows * 128
                                 * lanes.BP_PLANE_BYTES_PER_CELL,
-                                prefer=(2,) if alias else (3, 2)))
+                                prefer=(3, 2)))
         pend.append(word_tpu.unpack_symbols(spk, T4, R, n_blocks))
 
     for g, nb in host_prep.block_groups(n_full):
