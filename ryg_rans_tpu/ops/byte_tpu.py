@@ -389,7 +389,7 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=(
-            [pltpu.VMEM((ilp * cap_rows, 128), jnp.bfloat16)] * 4
+            [pltpu.VMEM((ilp * cap_rows, 128), jnp.float32)] * 4
             if bp else []),
         # big-block shapes exceed the 16M default scoped-vmem limit
         compiler_params=pltpu.CompilerParams(
@@ -828,7 +828,7 @@ def decode(cfg: RansConfig, byte_blocks: list[np.ndarray],
                             ilp=host_prep.pick_ilp(
                                 n_blocks, n_symbols_block + cap_rows * 512
                                 + cap_rows * 128
-                                * lanes.BP_PLANE_BYTES_PER_CELL,
+                                * lanes.BP_PLANE_BYTES_PER_CELL // 2,
                                 prefer=(3, 2)))
         pend.append(word_tpu.unpack_symbols(spk, T4, R, n_blocks))
 

@@ -388,7 +388,7 @@ def _bp_candidates(win0, win1, row_rel, shape):
     R = shape[0]
     W = win0[0].shape[0]
     iw = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
-    oh = (iw == row_rel).astype(jnp.bfloat16)
+    oh = (iw == row_rel).astype(jnp.float32)
 
     def comb(planes):
         o = [jnp.dot(oh, p, preferred_element_type=jnp.float32)
@@ -399,18 +399,22 @@ def _bp_candidates(win0, win1, row_rel, shape):
 
 
 #: scratch bytes per stream int32 cell for the byte-plane window fetch
-#: (4 bf16 planes); used by footprint-aware ILP picks
-BP_PLANE_BYTES_PER_CELL = 8
+#: (4 f32 planes).  bf16 planes would halve this and are value-exact for
+#: bytes, but Mosaic rejects dynamic-offset bf16 vector loads (r5) --
+#: and Precision.HIGH (bf16_3x over two 16-bit planes) is unsupported in
+#: the Pallas lowering, so f32 byte planes are the floor.  NOT
+#: double-buffered (Pallas scratch is per-kernel, not pipelined), so ILP
+#: accounting weighs these bytes at half (pick_ilp multiplies by 2*ilp).
+BP_PLANE_BYTES_PER_CELL = 16
 
 
 def fill_byte_planes(plane_refs, stream):
     """Write the four 8-bit fields of int32 ``stream`` (rows, 128) into
-    four (rows, 128) bf16 scratch refs (window_fetch_mono_bp); bf16 holds
-    0..255 exactly and halves the scratch footprint vs f32."""
-    plane_refs[0][:] = (stream & 0xFF).astype(jnp.bfloat16)
-    plane_refs[1][:] = (srl(stream, 8) & 0xFF).astype(jnp.bfloat16)
-    plane_refs[2][:] = (srl(stream, 16) & 0xFF).astype(jnp.bfloat16)
-    plane_refs[3][:] = srl(stream, 24).astype(jnp.bfloat16)
+    four (rows, 128) f32 scratch refs (window_fetch_mono_bp)."""
+    plane_refs[0][:] = (stream & 0xFF).astype(jnp.float32)
+    plane_refs[1][:] = (srl(stream, 8) & 0xFF).astype(jnp.float32)
+    plane_refs[2][:] = (srl(stream, 16) & 0xFF).astype(jnp.float32)
+    plane_refs[3][:] = srl(stream, 24).astype(jnp.float32)
 
 
 def _mono_candidates(window, row_rel, W: int, shape):

@@ -274,7 +274,7 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=(
-            [pltpu.VMEM((ilp * cap_rows, 128), jnp.bfloat16)] * 4
+            [pltpu.VMEM((ilp * cap_rows, 128), jnp.float32)] * 4
             if bp else []),
         # large-R (R=256) and large-block shapes exceed the 16M default
         # scoped-vmem limit; v5e has 128M VMEM (host_prep.VMEM_LIMIT)
@@ -565,7 +565,7 @@ def decode(cfg: RansConfig, word_blocks: list[np.ndarray],
                             ilp=host_prep.pick_ilp(
                                 n_blocks, n_symbols_block + cap_rows * 512
                                 + cap_rows * 128
-                                * lanes.BP_PLANE_BYTES_PER_CELL))
+                                * lanes.BP_PLANE_BYTES_PER_CELL // 2))
         pend.append(unpack_symbols(spk, T4, R, n_blocks))
 
     for g, nb in host_prep.block_groups(n_full):
