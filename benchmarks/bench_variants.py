@@ -82,9 +82,11 @@ def main():
                 buf[i, :b.size] = b.astype(np.int32)
             x0, st = word_tpu.prep_decode(jnp.asarray(buf), R, cap, NB)
             T4 = BS // N // 4
+            # ilp=3 wins for WORD pb12 with the r5 byte-plane fetch
+            # (15.59 vs 14.96, AB_BP_ALL_r05); pb11 prefers 2 (22.56)
             fn = lambda x0s, st: word_tpu.decode_blocks(
                 *tabs, x0s[0], st, T4=T4, R=R, sb=pb, cap_rows=cap,
-                n_blocks=NB, ilp=2)
+                n_blocks=NB, ilp=3 if NB % 3 == 0 else 2)
             x0s = (x0,)
         elif variant in (Variant.BYTE, Variant.ALIAS):
             tabs = byte_tpu.dec_tables(cfg, freqs, cum)
@@ -97,9 +99,9 @@ def main():
             x0, st = byte_tpu.prep_decode(jnp.asarray(buf), R, cap, NB)
             T4 = BS // N // 4
             alias = variant == Variant.ALIAS
-            # BYTE prefers ilp=3 with the r4 signed-compare kernels
-            # (0-4% across probes, never worse); ALIAS stays at 2
-            bilp = 2 if alias else (3 if NB % 3 == 0 else 2)
+            # BYTE and ALIAS both prefer ilp=3 with the r5 byte-plane
+            # fetch (17.78 / 17.27 GB/s, AB_BP_ALL_r05)
+            bilp = 3 if NB % 3 == 0 else 2
             fn = lambda x0s, st, _t=tabs, _a=alias, _i=bilp: \
                 byte_tpu.decode_blocks(
                     _t, x0s[0], st, T4=T4, R=R, sb=pb, cap_rows=cap,

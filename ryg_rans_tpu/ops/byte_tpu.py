@@ -208,7 +208,8 @@ def decode_cap_rows(max_bytes: int, R: int) -> int:
     total payload bytes: body + the kernel's window span of overread pad."""
     N = R * 128
     body_rows = max(0, -(-(max_bytes - 4 * N) // 512))
-    return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8
+    return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8 \
+        + lanes.BP_WINDOW_PAD_ROWS  # bp fetch loads an 8-aligned window
 
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
@@ -320,10 +321,15 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         col0 = jax.lax.shift_right_logical(idx0, 2) & 127
         col1 = jax.lax.shift_right_logical(idx1, 2) & 127
         if bp:
-            win0 = [p[pl.ds(woff + brow, WMAX), :] for p in plane_refs]
-            win1 = [p[pl.ds(woff + brow + 1, WMAX), :] for p in plane_refs]
+            # int8 dynamic loads need an 8-aligned offset (pl.multiple_of)
+            base8 = (brow // 8) * 8
+            off = pl.multiple_of(woff + base8, 8)
+            dlt = brow - base8
+            win = [p[pl.ds(off, WMAX + lanes.BP_WINDOW_PAD_ROWS), :]
+                   for p in plane_refs]
             v0, v1 = lanes.window_fetch_mono2_bp(
-                win0, win1, row_rel, (rel0, rel1), (col0, col1), (R, 128))
+                win, row_rel + dlt, (rel0 + dlt, rel1 + dlt),
+                (col0, col1), (R, 128))
         else:
             win = stream4_ref[pl.ds(woff + brow, WMAX), :]
             v0, v1 = lanes.window_fetch_mono2(win, row_rel, (rel0, rel1),
@@ -389,7 +395,7 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=(
-            [pltpu.VMEM((ilp * cap_rows, 128), jnp.float32)] * 4
+            [pltpu.VMEM((ilp * cap_rows, 128), jnp.int8)] * 4
             if bp else []),
         # big-block shapes exceed the 16M default scoped-vmem limit
         compiler_params=pltpu.CompilerParams(

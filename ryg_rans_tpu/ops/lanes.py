@@ -349,30 +349,33 @@ def window_fetch_mono2(window, row_rel, rels, cols, W: int, shape):
     return tuple(outs)
 
 
-def window_fetch_mono_bp(win0, win1, row_rel, rel, col, shape):
+def window_fetch_mono_bp(win, row_rel, rel, col, shape):
     """Monotone window gather over BYTE-PLANE windows (r5).
 
-    ``win0``/``win1`` are (W, 512) f32 slices of a per-block byte-plane
-    scratch -- the stream's four 8-bit fields as f32, concatenated along
-    lanes, with win1 offset one row below win0 -- prepared ONCE per grid
-    step (the r2 byte-plane dead end paid the split per-substep; hoisting
-    it flips the economics: the r5 ablation roofline showed the HIGHEST-
-    precision fetch was 66% of the whole RANS64 kernel).  Byte values
-    (<= 255) are exact in bf16, so the candidate dots run at DEFAULT
-    precision (1 MXU pass) instead of HIGHEST (6), and the adjacent-row
-    candidate pair shares ONE one-hot: 2 dots total per substep, 8 MXU
-    tiles vs 24.
+    ``win`` is the four 8-bit fields of the stream window as (W, 128)
+    int8 plane slices (biased by -128 to fit the signed dtype), prepared
+    ONCE per grid step into VMEM scratch (the r2 byte-plane dead end paid
+    the split per-substep; hoisting it flips the economics: the r5
+    ablation roofline showed the HIGHEST-precision fetch was 66% of the
+    whole RANS64 kernel).  The two adjacent-row candidates come from two
+    int8 one-hot dots per plane -- 8 single-pass MXU tiles instead of the
+    f32 path's 24 -- with exact int32 accumulation (one-hot x int8).
+    int8 planes cost 4 B per stream cell (f32 planes at 16 B/cell pushed
+    the 2^23-symbol headline shape past VMEM at ilp=2; bf16 planes and
+    Precision.HIGH dots are both rejected by the Mosaic lowering, and
+    sub-32-bit dynamic loads need the caller's 8-aligned window offset
+    via pl.multiple_of).
     """
-    a, b = _bp_candidates(win0, win1, row_rel, shape)
+    a, b = _bp_candidates(win, row_rel, shape)
     va = jnp.take_along_axis(a, col, axis=1)
     vb = jnp.take_along_axis(b, col, axis=1)
     return jnp.where(rel == row_rel, va, vb)
 
 
-def window_fetch_mono2_bp(win0, win1, row_rel, rels, cols, shape):
+def window_fetch_mono2_bp(win, row_rel, rels, cols, shape):
     """window_fetch_mono_bp for several (rel, col) index pairs sharing one
     candidate fetch (the BYTE variant's two refill bytes per symbol)."""
-    a, b = _bp_candidates(win0, win1, row_rel, shape)
+    a, b = _bp_candidates(win, row_rel, shape)
     outs = []
     for rel, col in zip(rels, cols):
         va = jnp.take_along_axis(a, col, axis=1)
@@ -381,40 +384,45 @@ def window_fetch_mono2_bp(win0, win1, row_rel, rels, cols, shape):
     return tuple(outs)
 
 
-def _bp_candidates(win0, win1, row_rel, shape):
-    """The two candidate window rows from byte-plane slices: one bf16
-    one-hot shared by 2x4 DEFAULT-precision (single-pass) dots -- byte
-    values and 0/1 one-hots are exact in bf16, accumulation is f32."""
+def _bp_candidates(win, row_rel, shape):
+    """Candidate window rows ``row_rel`` and ``row_rel + 1`` from int8
+    byte-plane slices.  Each one-hot x plane dot is exact in int32; the
+    -128 plane bias is undone by one constant add (the one-hot sums to 1
+    per row, so the bias contributes exactly 0x80 per byte field)."""
     R = shape[0]
-    W = win0[0].shape[0]
+    W = win[0].shape[0]
     iw = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
-    oh = (iw == row_rel).astype(jnp.float32)
+    oh0 = (iw == row_rel).astype(jnp.int8)
+    oh1 = (iw == row_rel + 1).astype(jnp.int8)
 
-    def comb(planes):
-        o = [jnp.dot(oh, p, preferred_element_type=jnp.float32)
-             .astype(jnp.int32) for p in planes]
-        return o[0] | (o[1] << 8) | (o[2] << 16) | (o[3] << 24)
+    def comb(oh):
+        o = [jnp.dot(oh, p, preferred_element_type=jnp.int32) for p in win]
+        return (o[0] + (o[1] << 8) + (o[2] << 16) + (o[3] << 24)
+                + _as_i32(0x80808080))
 
-    return comb(win0), comb(win1)
+    return comb(oh0), comb(oh1)
 
 
 #: scratch bytes per stream int32 cell for the byte-plane window fetch
-#: (4 f32 planes).  bf16 planes would halve this and are value-exact for
-#: bytes, but Mosaic rejects dynamic-offset bf16 vector loads (r5) --
-#: and Precision.HIGH (bf16_3x over two 16-bit planes) is unsupported in
-#: the Pallas lowering, so f32 byte planes are the floor.  NOT
-#: double-buffered (Pallas scratch is per-kernel, not pipelined), so ILP
-#: accounting weighs these bytes at half (pick_ilp multiplies by 2*ilp).
-BP_PLANE_BYTES_PER_CELL = 16
+#: (4 int8 planes).  NOT double-buffered (Pallas scratch is per-kernel,
+#: not pipelined), so ILP accounting weighs these bytes at half
+#: (pick_ilp multiplies by 2*ilp).
+BP_PLANE_BYTES_PER_CELL = 4
+
+#: extra window rows the bp fetch loads beyond wmax_rows: the dynamic
+#: window offset must be a multiple of 8 for sub-32-bit vector loads, so
+#: kernels round it down and widen the span by 8.
+BP_WINDOW_PAD_ROWS = 8
 
 
 def fill_byte_planes(plane_refs, stream):
     """Write the four 8-bit fields of int32 ``stream`` (rows, 128) into
-    four (rows, 128) f32 scratch refs (window_fetch_mono_bp)."""
-    plane_refs[0][:] = (stream & 0xFF).astype(jnp.float32)
-    plane_refs[1][:] = (srl(stream, 8) & 0xFF).astype(jnp.float32)
-    plane_refs[2][:] = (srl(stream, 16) & 0xFF).astype(jnp.float32)
-    plane_refs[3][:] = srl(stream, 24).astype(jnp.float32)
+    four (rows, 128) int8 scratch refs, biased by -128 so 0..255 fits the
+    signed dtype (window_fetch_mono_bp undoes the bias)."""
+    plane_refs[0][:] = ((stream & 0xFF) - 128).astype(jnp.int8)
+    plane_refs[1][:] = ((srl(stream, 8) & 0xFF) - 128).astype(jnp.int8)
+    plane_refs[2][:] = ((srl(stream, 16) & 0xFF) - 128).astype(jnp.int8)
+    plane_refs[3][:] = ((srl(stream, 24)) - 128).astype(jnp.int8)
 
 
 def _mono_candidates(window, row_rel, W: int, shape):

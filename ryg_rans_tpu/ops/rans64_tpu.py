@@ -134,7 +134,8 @@ def decode_cap_rows(max_words: int, R: int) -> int:
     body + the kernel's window span of overread pad."""
     N = R * 128
     body_rows = max(0, -(-(max_words - 2 * N) // 128))
-    return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8
+    return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8 \
+        + lanes.BP_WINDOW_PAD_ROWS  # bp fetch loads an 8-aligned window
 
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
@@ -268,11 +269,15 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
             rel = jax.lax.shift_right_logical(gidx, 7) - brow
             col = gidx & 127
             if bp:
-                win0 = [p[pl.ds(woff + brow, WMAX), :] for p in plane_refs]
-                win1 = [p[pl.ds(woff + brow + 1, WMAX), :]
-                        for p in plane_refs]
-                wv = lanes.window_fetch_mono_bp(win0, win1, row_rel, rel,
-                                                col, (R, 128))
+                # int8 dynamic loads need an 8-aligned offset
+                # (pl.multiple_of); round brow down and widen the span
+                base8 = (brow // 8) * 8
+                off = pl.multiple_of(woff + base8, 8)
+                dlt = brow - base8
+                win = [p[pl.ds(off, WMAX + lanes.BP_WINDOW_PAD_ROWS), :]
+                       for p in plane_refs]
+                wv = lanes.window_fetch_mono_bp(win, row_rel + dlt,
+                                                rel + dlt, col, (R, 128))
             else:
                 win = stream_ref[pl.ds(woff + brow, WMAX), :]
                 wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
@@ -339,7 +344,7 @@ def decode_blocks(sym4_rows, fc_rows, x0_lo, x0_hi, stream_rows, *, T4: int,
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=(
-            [pltpu.VMEM((ilp * cap_rows, 128), jnp.float32)] * 4
+            [pltpu.VMEM((ilp * cap_rows, 128), jnp.int8)] * 4
             if bp else []),
         # big-block shapes exceed the 16M default scoped-vmem limit
         compiler_params=pltpu.CompilerParams(

@@ -109,7 +109,8 @@ def decode_cap_rows(max_words: int, R: int) -> int:
     analog of the reference's +16B SIMD pad, main_simd.cpp:145-146)."""
     N = R * 128
     body_rows = max(0, -(-(max_words - 2 * N) // 256))
-    return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8
+    return -(-(body_rows + wmax_rows(R) + 1) // 8) * 8 \
+        + lanes.BP_WINDOW_PAD_ROWS  # bp fetch loads an 8-aligned window
 
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
@@ -193,10 +194,14 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
         col = jax.lax.shift_right_logical(gidx, 1) & 127
         half = (gidx & 1) << 4
         if bp:
-            win0 = [p[pl.ds(woff + brow, WMAX), :] for p in plane_refs]
-            win1 = [p[pl.ds(woff + brow + 1, WMAX), :] for p in plane_refs]
-            wv = lanes.window_fetch_mono_bp(win0, win1, row_rel, rel, col,
-                                            (R, 128))
+            # int8 dynamic loads need an 8-aligned offset (pl.multiple_of)
+            base8 = (brow // 8) * 8
+            off = pl.multiple_of(woff + base8, 8)
+            dlt = brow - base8
+            win = [p[pl.ds(off, WMAX + lanes.BP_WINDOW_PAD_ROWS), :]
+                   for p in plane_refs]
+            wv = lanes.window_fetch_mono_bp(win, row_rel + dlt, rel + dlt,
+                                            col, (R, 128))
         else:
             win = stream2_ref[pl.ds(woff + brow, WMAX), :]
             wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
@@ -274,7 +279,7 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
         out_specs=pl.BlockSpec((ilp * T4 * R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=(
-            [pltpu.VMEM((ilp * cap_rows, 128), jnp.float32)] * 4
+            [pltpu.VMEM((ilp * cap_rows, 128), jnp.int8)] * 4
             if bp else []),
         # large-R (R=256) and large-block shapes exceed the 16M default
         # scoped-vmem limit; v5e has 128M VMEM (host_prep.VMEM_LIMIT)
