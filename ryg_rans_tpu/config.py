@@ -189,11 +189,13 @@ class RansConfig:
         Pareto point (16384 lanes, 2^23-symbol blocks).
 
         With no explicit `variant`, large inputs (the ones that reach the
-        full 16384-lane shape) get ALIAS prob_bits=16 -- the headline
-        operating point: fastest decode AND best ratio (docs/DESIGN.md;
-        bench.py measures exactly this front-door config).  Smaller
-        inputs stay WORD: its encoder is ~3x faster and the 2^16-slot
-        alias tables aren't worth building for sub-8-MiB payloads.
+        full 16384-lane shape) get WORD prob_bits=11 -- the headline
+        operating point with the r5 byte-plane fetch: fastest decode
+        (19.7 GB/s vs ALIAS's 15.8, HEADLINE_TUNE_r05.json) AND the ~3x
+        fastest encoder, at +0.16% container size over ALIAS pb16
+        (4.5896 vs 4.5821 bits/byte on book1; bench.py measures exactly
+        this front-door config).  Smaller inputs stay WORD prob_bits=12
+        (better ratio; the pb11 table halving only pays at full width).
         """
         n = 1024
         while n < 16384 and n * 2 * 512 <= max(n_bytes, 1):
@@ -202,6 +204,8 @@ class RansConfig:
         while bs < (1 << 23) and bs < max(n_bytes, 1):
             bs *= 2
         if variant is None:
-            variant = Variant.ALIAS if n == 16384 else Variant.WORD
+            return cls(variant=Variant.WORD,
+                       prob_bits=11 if n == 16384 else 12,
+                       n_lanes=n, block_symbols=bs)
         return cls(variant=variant, prob_bits=DEFAULT_PROB_BITS[variant],
                    n_lanes=n, block_symbols=bs)

@@ -84,9 +84,10 @@ def test_auto_config_adapts_to_size():
     assert RansConfig.auto(768_771).variant == Variant.WORD
     big = RansConfig.auto(33 << 20)
     assert big.n_lanes == 16384 and big.block_symbols == 1 << 23
-    # large inputs get the headline operating point (README: rt.compress
-    # picks the benched ALIAS pb16 shape automatically; ADVICE r3)
-    assert big.variant == Variant.ALIAS and big.prob_bits == 16
+    # large inputs get the headline operating point (r5: WORD pb11 with
+    # the byte-plane fetch -- fastest decode AND encode,
+    # HEADLINE_TUNE_r05.json)
+    assert big.variant == Variant.WORD and big.prob_bits == 11
     # an explicit variant is never overridden
     assert RansConfig.auto(33 << 20, Variant.WORD).variant == Variant.WORD
 
