@@ -274,10 +274,29 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
                 base8 = (brow // 8) * 8
                 off = pl.multiple_of(woff + base8, 8)
                 dlt = brow - base8
-                win = [p[pl.ds(off, WMAX + lanes.BP_WINDOW_PAD_ROWS), :]
-                       for p in plane_refs]
-                wv = lanes.window_fetch_mono_bp(win, row_rel + dlt,
-                                                rel + dlt, col, (R, 128))
+
+                def fetch(width):
+                    win = [p[pl.ds(off, width), :] for p in plane_refs]
+                    return lanes.window_fetch_mono_bp(
+                        win, row_rel + dlt, rel + dlt, col, (R, 128))
+
+                WFULL = WMAX + lanes.BP_WINDOW_PAD_ROWS
+                NARROW = 48  # rows: covers <=6016 words/substep -- even
+                #              8 bits/byte entropy consumes ~4096 (+ the
+                #              <=7-row alignment shift); worst-case data
+                #              takes the full-width branch (r5 roofline:
+                #              the fetch dots scale with window width and
+                #              were still 45% of the kernel at W=144)
+                if WFULL > NARROW:
+                    # rows this substep touches, relative to base8
+                    # (candidate b adds one)
+                    span = lanes.srl(jnp.maximum(base + total - 1, 0),
+                                     7) - base8 + 2
+                    wv = jax.lax.cond(span <= NARROW,
+                                      lambda: fetch(NARROW),
+                                      lambda: fetch(WFULL))
+                else:
+                    wv = fetch(WFULL)
             else:
                 win = stream_ref[pl.ds(woff + brow, WMAX), :]
                 wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
