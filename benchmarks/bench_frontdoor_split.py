@@ -84,7 +84,9 @@ def main():
         for i, p in enumerate(pay_vars):
             p[-1] = (int(p[-1]) + i) & 0xFF
 
-        dev_syms = jax.device_put(jnp.asarray(variants[0]))
+        # FRESH device arrays per rep: a jax array caches its host copy
+        # after the first np.asarray, which would read d2h as ~0
+        dev_syms = [jax.device_put(jnp.asarray(v)) for v in variants]
         jax.block_until_ready(dev_syms)
 
         def h2d(arrs):
@@ -93,7 +95,7 @@ def main():
             return f
 
         t_h2d_data = _best(h2d(variants))          # compress input
-        t_d2h_syms = _best(lambda i: np.asarray(dev_syms))  # decode output
+        t_d2h_syms = _best(lambda i: np.asarray(dev_syms[i]))  # dec output
         t_h2d_pay = _best(h2d(pay_vars))           # decode input
         # compress output d2h ~ payload size: reuse the payload transfer
         t_transfer_comp = t_h2d_data + t_h2d_pay   # in + out bytes

@@ -622,8 +622,10 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
 
     out_blocks: list[np.ndarray] = []
     for buf, n_words, n_blocks in pend:
-        buf_np = np.asarray(buf).view(np.uint32)
         n_np = np.asarray(n_words)  # one fetch per group, not per block
+        mx = max(int(n_np.max()), 1)
+        # trim to the longest block ON DEVICE before the d2h fetch (r5)
+        buf_np = np.asarray(buf[:, :mx]).view(np.uint32)
         for b in range(n_blocks):
             out_blocks.append(buf_np[b, :int(n_np[b])].copy())
     return out_blocks, padded.size
