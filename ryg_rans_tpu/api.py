@@ -221,9 +221,27 @@ def compress(data, cfg: RansConfig | None = None,
     if data.size == 0:
         return cont.pack(cfg, 0, np.zeros(256, np.uint32), [], None)
 
-    freqs, cum = stats.build_model(data, cfg.prob_bits)
     be = _pick_backend(cfg, backend, data.size)
-    padded = _pad(data, cfg, freqs)
+    if be == "tpu" and data.size >= (1 << 22) and _tpu_live():
+        # Device-side model + pad (r5): ONE h2d transfer feeds histogram
+        # AND encode; the 256-count fetch replaces the host bincount and
+        # the host pad copy (the reference's count_freqs walks the input
+        # once too, main.cpp:59-66 -- here that walk rides the transfer
+        # the encode needs anyway).  Counts are exact integers, so the
+        # container stays byte-identical to the host paths.
+        import jax.numpy as jnp
+        dev = jnp.asarray(data)
+        counts = np.asarray(jnp.bincount(dev, length=256))
+        freqs, cum = stats.build_model_from_counts(
+            counts.astype(np.int64), cfg.prob_bits)
+        step = 4 * cfg.n_lanes
+        S_pad = -(-max(data.size, 1) // step) * step
+        padded = dev if S_pad == data.size else jnp.concatenate(
+            [dev, jnp.full(S_pad - data.size, int(np.argmax(freqs)),
+                           jnp.uint8)])
+    else:
+        freqs, cum = stats.build_model(data, cfg.prob_bits)
+        padded = _pad(data, cfg, freqs)
 
     crcs = [] if cfg.checksum else None
     payloads = _encode_payloads(cfg, be, padded, freqs, cum)

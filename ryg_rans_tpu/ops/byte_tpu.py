@@ -762,7 +762,8 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
     R = cfg.n_lanes // 128
     N = cfg.n_lanes
     alias = cfg.variant == Variant.ALIAS
-    padded, _ = word_tpu.pad_block(np.asarray(data, np.uint8), N, freqs)
+    padded, _ = word_tpu.pad_block(data if not isinstance(data, np.ndarray)
+                          else np.asarray(data, np.uint8), N, freqs)
     tables = enc_tables(cfg, freqs, cum_freqs, seed_bisect=seed_bisect)
     seeded = len(tables) == 3  # pack_alias_seed may decline (wide bands)
     n_full, tail = _split_blocks(cfg, padded.size)

@@ -586,7 +586,8 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
     from . import word_tpu
     R = cfg.n_lanes // 128
     N = cfg.n_lanes
-    padded, _ = word_tpu.pad_block(np.asarray(data, np.uint8), N, freqs)
+    padded, _ = word_tpu.pad_block(data if not isinstance(data, np.ndarray)
+                          else np.asarray(data, np.uint8), N, freqs)
     # prob_bits > 16 needs the reciprocal path (frequencies exceed the
     # division path's one-limb range); below that the 64/16 schoolbook
     # division measures faster on v5e (fewer table gathers)

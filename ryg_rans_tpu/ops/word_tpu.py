@@ -474,8 +474,17 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def pad_block(data: np.ndarray, n_lanes: int, freqs) -> tuple[np.ndarray, int]:
-    """Pad to a multiple of 4*n_lanes with the most frequent symbol."""
+def pad_block(data, n_lanes: int, freqs):
+    """Pad to a multiple of 4*n_lanes with the most frequent symbol.
+
+    Device (jnp) inputs stay ON DEVICE (r5 front door: the data already
+    rode the wire for the encode; a np round-trip would move it back) --
+    they must arrive pre-padded (api.compress pads device-side)."""
+    if not isinstance(data, np.ndarray):
+        if data.size % (4 * n_lanes):
+            raise ValueError("device-resident encode input must be padded "
+                             "to a multiple of 4*n_lanes")
+        return data, data.size
     S = data.size
     step = 4 * n_lanes
     S_pad = -(-max(S, 1) // step) * step
@@ -503,7 +512,8 @@ def encode(cfg: RansConfig, data: np.ndarray, freqs, cum_freqs,
         interpret = _default_interpret()
     R = cfg.n_lanes // 128
     N = cfg.n_lanes
-    padded, _ = pad_block(np.asarray(data, np.uint8), N, freqs)
+    padded, _ = pad_block(data if not isinstance(data, np.ndarray)
+                          else np.asarray(data, np.uint8), N, freqs)
     enc_rows = jnp.asarray(pack_enc_rows(freqs, cum_freqs, cfg.prob_bits))
     n_full, tail = _split_blocks(cfg, padded.size)
     B = cfg.block_symbols
