@@ -275,28 +275,17 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, ilp: int = 1,
                 off = pl.multiple_of(woff + base8, 8)
                 dlt = brow - base8
 
-                def fetch(width):
-                    win = [p[pl.ds(off, width), :] for p in plane_refs]
-                    return lanes.window_fetch_mono_bp(
-                        win, row_rel + dlt, rel + dlt, col, (R, 128))
-
-                WFULL = WMAX + lanes.BP_WINDOW_PAD_ROWS
-                NARROW = 48  # rows: covers <=6016 words/substep -- even
-                #              8 bits/byte entropy consumes ~4096 (+ the
-                #              <=7-row alignment shift); worst-case data
-                #              takes the full-width branch (r5 roofline:
-                #              the fetch dots scale with window width and
-                #              were still 45% of the kernel at W=144)
-                if WFULL > NARROW:
-                    # rows this substep touches, relative to base8
-                    # (candidate b adds one)
-                    span = lanes.srl(jnp.maximum(base + total - 1, 0),
-                                     7) - base8 + 2
-                    wv = jax.lax.cond(span <= NARROW,
-                                      lambda: fetch(NARROW),
-                                      lambda: fetch(WFULL))
-                else:
-                    wv = fetch(WFULL)
+                # NOTE (r5 dead end): a lax.cond picking a 48-row narrow
+                # window for typical substeps (~20 rows touched vs the
+                # 144-row worst case) round-trips but measures ~35%
+                # SLOWER -- per-substep control flow serializes the
+                # interleaved ilp chains the scheduler otherwise overlaps
+                # (probe vs VARIANTS_r05 same shape).  Unconditional
+                # full-width fetch stays.
+                win = [p[pl.ds(off, WMAX + lanes.BP_WINDOW_PAD_ROWS), :]
+                       for p in plane_refs]
+                wv = lanes.window_fetch_mono_bp(win, row_rel + dlt,
+                                                rel + dlt, col, (R, 128))
             else:
                 win = stream_ref[pl.ds(woff + brow, WMAX), :]
                 wv = lanes.window_fetch_mono(win, row_rel, rel, col, WMAX,
