@@ -116,7 +116,11 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
                    ilp: int = 1, use_bisect: bool | None = None,
                    slot_direct: bool = False, hoist4: bool = False,
-                   bp: bool = True):
+                   bp: bool = True, ablate: str = ""):
+    # ``ablate`` is a BENCHMARK-ONLY stage-stub hook for the ablation
+    # roofline (benchmarks/roofline_r64.py pattern; docs/DESIGN.md).
+    # Values: "lookup" | "fetch" | "scan".  Ablated kernels do NOT
+    # round-trip.
     """Decode one block: 4*T4 steps over (R,128) lanes.
 
     Gather-count-optimized (see docs/DESIGN.md):
@@ -153,7 +157,11 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
 
     def substep(x, base, spk, k, woff):
         slot = x & M1
-        if bisect:
+        if ablate == "lookup":
+            sym = slot & 0xFF
+            freq = (slot & 0x3FF) | 1
+            off = slot & 1
+        elif bisect:
             # binary search on FUSED (cum[s+1]<<sb)|(freq-1) keys beats
             # the 4-packed cum2sym sweep once the slot table exceeds 16
             # rows (prob_bits >= 14); WORD's sb <= 15 always, so the
@@ -185,6 +193,9 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
         # lanes consumes <=128 words < 256 words/window-row, so rel
         # spans at most two rows per sublane row (lanes.py)
         m = lanes.ult(x, 1 << 16)
+        if ablate == "scan":
+            x = jnp.where(m, (x << 16) | 1, x)
+            return x, base + 1, spk
         incl, total, rowstart = lanes.lane_prefix_sum_rows(
             m.astype(jnp.float32), tri, R)
         gidx = base + jnp.where(m, incl - 1, 0)
@@ -193,7 +204,9 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
         row_rel = jax.lax.shift_right_logical(base + rowstart, 8) - brow
         col = jax.lax.shift_right_logical(gidx, 1) & 127
         half = (gidx & 1) << 4
-        if bp:
+        if ablate == "fetch":
+            wv = incl ^ x
+        elif bp:
             # int8 dynamic loads need an 8-aligned offset (pl.multiple_of)
             base8 = (brow // 8) * 8
             off = pl.multiple_of(woff + base8, 8)
@@ -235,13 +248,14 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "interpret",
                                              "groups", "ilp", "use_bisect",
-                                             "slot_direct", "hoist4", "bp"))
+                                             "slot_direct", "hoist4", "bp",
+                                             "ablate"))
 def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
                   sb: int, cap_rows: int, n_blocks: int,
                   interpret: bool = False, groups: int = 1,
                   ilp: int = 1, use_bisect: bool | None = None,
                   slot_direct: bool = False, hoist4: bool = False,
-                  bp: bool = True):
+                  bp: bool = True, ablate: str = ""):
     """Grid decode of ``n_blocks`` blocks.
 
     x0: (n_blocks*R, 128); stream2_rows: (n_blocks*cap_rows, 128) with renorm
@@ -265,7 +279,8 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, groups=groups,
                           ilp=ilp, use_bisect=use_bisect,
-                          slot_direct=slot_direct, hoist4=hoist4, bp=bp),
+                          slot_direct=slot_direct, hoist4=hoist4, bp=bp,
+                          ablate=ablate),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [
