@@ -319,6 +319,25 @@ def lane_prefix_sum_rows(mask_f32, tri, R: int):
     return incl, total, cross.astype(jnp.int32)
 
 
+def lane_prefix_sum_rows_i8(mask_i8, tri_i8, R: int):
+    """lane_prefix_sum_rows on int8 operands (r5 A/B): the triangular dot
+    runs as an exact int8 x int8 -> int32 MXU pass with no float converts
+    on the mask or the result.  Per-row counts (<= 256 for masks <= 2)
+    keep the cross dot exact in bf16-truncated f32."""
+    cs = jnp.dot(mask_i8, tri_i8, preferred_element_type=jnp.int32)
+    rowtot = cs[:, 127:128]
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    lower = (cols_i < rows_i).astype(jnp.float32)
+    cross = jnp.dot(lower,
+                    jnp.broadcast_to(rowtot.astype(jnp.float32), (R, 128)),
+                    preferred_element_type=jnp.float32)[:, :1].astype(
+                        jnp.int32)
+    incl = cs + cross
+    total = jnp.sum(rowtot)
+    return incl, total, cross
+
+
 def window_fetch_mono(window, row_rel, rel, col, W: int, shape):
     """Monotone window gather: ``window[rel, col]`` per lane when ``rel`` is
     non-decreasing in flattened lane order AND spans at most TWO values

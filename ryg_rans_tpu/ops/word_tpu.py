@@ -116,7 +116,7 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
                    ilp: int = 1, use_bisect: bool | None = None,
                    slot_direct: bool = False, hoist4: bool = False,
-                   bp: bool = True, ablate: str = ""):
+                   bp: bool = True, ablate: str = "", i8s: bool = False):
     # ``ablate`` is a BENCHMARK-ONLY stage-stub hook for the ablation
     # roofline (benchmarks/roofline_r64.py pattern; docs/DESIGN.md).
     # Values: "lookup" | "fetch" | "scan".  Ablated kernels do NOT
@@ -146,7 +146,7 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
     fc = fc_ref[:]
     tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-           ).astype(jnp.float32)
+           ).astype(jnp.int8 if i8s else jnp.float32)
     M1 = (1 << sb) - 1
     WMAX = wmax_rows(R)       # worst-case pair-rows a step can touch
     cap_rows = stream2_ref.shape[0] // ilp
@@ -196,8 +196,12 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
         if ablate == "scan":
             x = jnp.where(m, (x << 16) | 1, x)
             return x, base + 1, spk
-        incl, total, rowstart = lanes.lane_prefix_sum_rows(
-            m.astype(jnp.float32), tri, R)
+        if i8s:  # int8 prefix scan A/B (exact; lanes.py)
+            incl, total, rowstart = lanes.lane_prefix_sum_rows_i8(
+                m.astype(jnp.int8), tri, R)
+        else:
+            incl, total, rowstart = lanes.lane_prefix_sum_rows(
+                m.astype(jnp.float32), tri, R)
         gidx = base + jnp.where(m, incl - 1, 0)
         brow = jax.lax.shift_right_logical(base, 8)
         rel = jax.lax.shift_right_logical(gidx, 8) - brow
@@ -249,13 +253,13 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
                                              "n_blocks", "interpret",
                                              "groups", "ilp", "use_bisect",
                                              "slot_direct", "hoist4", "bp",
-                                             "ablate"))
+                                             "ablate", "i8s"))
 def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
                   sb: int, cap_rows: int, n_blocks: int,
                   interpret: bool = False, groups: int = 1,
                   ilp: int = 1, use_bisect: bool | None = None,
                   slot_direct: bool = False, hoist4: bool = False,
-                  bp: bool = True, ablate: str = ""):
+                  bp: bool = True, ablate: str = "", i8s: bool = False):
     """Grid decode of ``n_blocks`` blocks.
 
     x0: (n_blocks*R, 128); stream2_rows: (n_blocks*cap_rows, 128) with renorm
@@ -280,7 +284,7 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, groups=groups,
                           ilp=ilp, use_bisect=use_bisect,
                           slot_direct=slot_direct, hoist4=hoist4, bp=bp,
-                          ablate=ablate),
+                          ablate=ablate, i8s=i8s),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [

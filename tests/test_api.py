@@ -92,7 +92,9 @@ def test_compression_ratio_book1_native(book1):
     assert len(blob) < 435626 + 1600 + int(0.002 * 435626)
 
 
-@pytest.mark.parametrize("variant", VARIANTS)
+@pytest.mark.parametrize("variant", [
+    pytest.param(v, marks=pytest.mark.slow) if v == Variant.ALIAS else v
+    for v in VARIANTS])
 def test_tpu_backend_container_matches_numpy(book1_head, variant):
     """The TPU kernel path (interpret mode here) must produce the exact
     container the numpy oracle produces, and cross-decode."""
@@ -192,7 +194,7 @@ def test_decompress_to_device_raw_blocks(book1_head, rng):
 @pytest.mark.parametrize("variant,pb", [
     (Variant.WORD, 12), (Variant.BYTE, 14),
     pytest.param(Variant.ALIAS, 16, marks=pytest.mark.slow),
-    (Variant.RANS64, 14),
+    pytest.param(Variant.RANS64, 14, marks=pytest.mark.slow),
     pytest.param(Variant.RANS64, 20, marks=pytest.mark.slow),
 ])
 def test_compress_from_device_matches_host(book1_head, variant, pb):

@@ -20,8 +20,9 @@ def _cfg(variant, n_lanes=128, block_symbols=1 << 13):
 
 @pytest.mark.parametrize("variant", [Variant.BYTE, Variant.ALIAS])
 # 17000 spans two full blocks -> exercises the encode kernel's ilp=2 path
-@pytest.mark.parametrize("size", [2048, 9000,
-                                  pytest.param(17000, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("size", [
+    2048, pytest.param(9000, marks=pytest.mark.slow),
+    pytest.param(17000, marks=pytest.mark.slow)])
 def test_tpu_encode_matches_oracle(book1_head, variant, size):
     cfg = _cfg(variant)
     data = book1_head[:size]
@@ -43,7 +44,9 @@ def test_tpu_encode_matches_oracle(book1_head, variant, size):
         off += chunk.size
 
 
-@pytest.mark.parametrize("sb", [9, 12, 16])
+@pytest.mark.parametrize("sb", [
+    pytest.param(9, marks=pytest.mark.slow), 12,
+    pytest.param(16, marks=pytest.mark.slow)])
 @pytest.mark.parametrize(
     "size", [2048, pytest.param(17000, marks=pytest.mark.slow)])
 def test_alias_seed_bisect_matches_standard(book1_head, sb, size):
@@ -63,6 +66,7 @@ def test_alias_seed_bisect_matches_standard(book1_head, sb, size):
         assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_alias_seed_declines_wide_bands():
     """A model whose dominant symbol spans more segments than the depth-5
     reach makes pack_alias_seed return None, and encode() falls back to
@@ -242,8 +246,11 @@ def test_alias_wrapped_adjust_model():
     assert tab.slot_adjust.max() >= (1 << 16)  # the shape that bit
     cfg = RansConfig(variant=Variant.ALIAS, prob_bits=16, n_lanes=256,
                      lanes_per_stream=256, block_symbols=8192)
-    blocks, padded_size = byte_tpu.encode(cfg, data, freqs, cum,
+    # the MODEL (from all 20000 samples) is what wraps; one block of it
+    # exercises the kernel's 16-bit wrapped subtract at 1/4 the steps
+    chunk = data[:8192]
+    blocks, padded_size = byte_tpu.encode(cfg, chunk, freqs, cum,
                                           interpret=True)
     dec = byte_tpu.decode(cfg, blocks, padded_size, freqs, cum,
                           interpret=True)
-    assert np.array_equal(dec[:data.size], data)
+    assert np.array_equal(dec[:chunk.size], chunk)

@@ -86,7 +86,8 @@ def test_raw_block_fallback_mixed(rng, book1_head):
 
 
 @pytest.mark.parametrize("variant", [
-    Variant.WORD, Variant.BYTE, Variant.ALIAS,
+    Variant.WORD, Variant.BYTE,
+    pytest.param(Variant.ALIAS, marks=pytest.mark.slow),
     pytest.param(Variant.RANS64, marks=pytest.mark.slow)])
 def test_fuzz_roundtrip_tpu_kernels(variant, rng):
     """Randomized lengths/contents through the Pallas kernels (interpret)."""

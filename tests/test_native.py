@@ -46,7 +46,8 @@ def test_native_matches_numpy_oracle(book1_head, variant, n_lanes, lpg):
     assert np.array_equal(dec, data)
 
 
-@pytest.mark.parametrize("pb", [20, 31])
+@pytest.mark.parametrize("pb", [
+    20, pytest.param(31, marks=pytest.mark.slow)])
 def test_native_r64_reciprocal_matches_oracle(book1_head, pb):
     """The division-free RANS64 encode (64-bit Alverson reciprocals,
     rans64.h:167-247 semantics) must produce the exact oracle stream at
@@ -154,7 +155,8 @@ def test_native_threaded_blocks_identical(book1_head, monkeypatch):
     # pb=9 exercises the widest renorm thresholds; RANS64 20/31 cover the
     # reciprocal-encode range beyond the AVX2-decode pb<=16 window
     (Variant.BYTE, 16), (Variant.BYTE, 9), (Variant.WORD, 15),
-    (Variant.ALIAS, 12), (Variant.RANS64, 20), (Variant.RANS64, 31),
+    (Variant.ALIAS, 12), (Variant.RANS64, 20),
+    pytest.param(Variant.RANS64, 31, marks=pytest.mark.slow),
 ])
 def test_native_avx2_matches_scalar_engine(book1, variant, pb, monkeypatch):
     """Differential: the AVX2 encode AND decode paths must be

@@ -43,7 +43,7 @@ def cases(draw):
     return variant, pb, n_lanes, block_symbols, size, alphabet, seed
 
 
-@settings(max_examples=10, deadline=None)  # r5: 25 -> 10 for suite wall time;
+@settings(max_examples=6, deadline=None)  # r5: 25 -> 10 for suite wall time;
 # the slow lane's other hypothesis tests keep the deeper sweeps
 @given(cases())
 def test_cross_backend_container_equality(case):
