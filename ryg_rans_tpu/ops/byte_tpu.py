@@ -213,7 +213,8 @@ def decode_cap_rows(max_bytes: int, R: int) -> int:
 
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
-                   ilp: int = 1, hoist4: bool = False, bp: bool = True):
+                   ilp: int = 1, hoist4: bool = False, bp: bool = True,
+                   i8s: bool = True):
     """Decode one block: 4*T4 steps over (R,128) lanes, 8-bit renorm."""
     if bp:  # byte-plane window scratches are the LAST 4 refs (scratch)
         refs, plane_refs = refs[:-4], refs[-4:]
@@ -234,7 +235,7 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         lanes.fill_byte_planes(plane_refs, stream4_ref[:])
     tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-           ).astype(jnp.float32)
+           ).astype(jnp.int8 if i8s else jnp.float32)
     M1 = (1 << sb) - 1
     WMAX = wmax_rows(R)
     cap_rows = stream4_ref.shape[0] // ilp
@@ -306,8 +307,14 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
         # (bounded form of the loop at rans_byte.h:307-318)
         m1 = lanes.ult(x, 1 << L_BITS)
         m2 = lanes.ult(x, 1 << (L_BITS - 8))
-        kf = m1.astype(jnp.float32) + m2.astype(jnp.float32)
-        incl, total, rowstart = lanes.lane_prefix_sum_rows(kf, tri, R)
+        if i8s:  # int8 prefix scan (exact: counts <= 2 per lane);
+            # Mosaic rejects int8 vector adds -- count in i32, cast once
+            kq = (m1.astype(jnp.int32)
+                  + m2.astype(jnp.int32)).astype(jnp.int8)
+            incl, total, rowstart = lanes.lane_prefix_sum_rows_i8(kq, tri, R)
+        else:
+            kf = m1.astype(jnp.float32) + m2.astype(jnp.float32)
+            incl, total, rowstart = lanes.lane_prefix_sum_rows(kf, tri, R)
         excl = incl - m1.astype(jnp.int32) - m2.astype(jnp.int32)
         idx0 = base + excl        # first (most-significant) refill byte
         idx1 = idx0 + 1
@@ -362,11 +369,11 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
 
 @functools.partial(jax.jit, static_argnames=("T4", "R", "sb", "cap_rows",
                                              "n_blocks", "alias", "interpret",
-                                             "ilp", "hoist4", "bp"))
+                                             "ilp", "hoist4", "bp", "i8s"))
 def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
                   cap_rows: int, n_blocks: int, alias: bool,
                   interpret: bool = False, ilp: int = 1,
-                  hoist4: bool = False, bp: bool = True):
+                  hoist4: bool = False, bp: bool = True, i8s: bool = True):
     """Grid decode of n_blocks blocks.
 
     tables: (sym4, fc) for BYTE or (div, pa, adj) for ALIAS; x0
@@ -383,7 +390,7 @@ def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
     ]
     return pl.pallas_call(
         functools.partial(_decode_kernel, T4=T4, R=R, sb=sb, alias=alias,
-                          ilp=ilp, hoist4=hoist4, bp=bp),
+                          ilp=ilp, hoist4=hoist4, bp=bp, i8s=i8s),
         grid=(n_blocks // ilp,),
         out_shape=jax.ShapeDtypeStruct((n_blocks * T4 * R, 128), jnp.int32),
         in_specs=tab_specs + [
