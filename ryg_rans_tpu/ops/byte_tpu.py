@@ -214,7 +214,7 @@ def decode_cap_rows(max_bytes: int, R: int) -> int:
 
 def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
                    ilp: int = 1, hoist4: bool = False, bp: bool = True,
-                   i8s: bool = True):
+                   i8s: bool = False):
     """Decode one block: 4*T4 steps over (R,128) lanes, 8-bit renorm."""
     if bp:  # byte-plane window scratches are the LAST 4 refs (scratch)
         refs, plane_refs = refs[:-4], refs[-4:]
@@ -373,7 +373,7 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, alias: bool,
 def decode_blocks(tables, x0, stream4_rows, *, T4: int, R: int, sb: int,
                   cap_rows: int, n_blocks: int, alias: bool,
                   interpret: bool = False, ilp: int = 1,
-                  hoist4: bool = False, bp: bool = True, i8s: bool = True):
+                  hoist4: bool = False, bp: bool = True, i8s: bool = False):
     """Grid decode of n_blocks blocks.
 
     tables: (sym4, fc) for BYTE or (div, pa, adj) for ALIAS; x0

@@ -116,7 +116,7 @@ def decode_cap_rows(max_words: int, R: int) -> int:
 def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
                    ilp: int = 1, use_bisect: bool | None = None,
                    slot_direct: bool = False, hoist4: bool = False,
-                   bp: bool = True, ablate: str = "", i8s: bool = True):
+                   bp: bool = True, ablate: str = "", i8s: bool = False):
     # ``ablate`` is a BENCHMARK-ONLY stage-stub hook for the ablation
     # roofline (benchmarks/roofline_r64.py pattern; docs/DESIGN.md).
     # Values: "lookup" | "fetch" | "scan".  Ablated kernels do NOT
@@ -196,8 +196,9 @@ def _decode_kernel(*refs, T4: int, R: int, sb: int, groups: int = 1,
         if ablate == "scan":
             x = jnp.where(m, (x << 16) | 1, x)
             return x, base + 1, spk
-        if i8s:  # int8 prefix scan (r5 A/B/A: 19.07/20.43/20.06 --
-            # ~+2% and never worse; exact, lanes.py)
+        if i8s:  # int8 prefix scan hook (r5: pb11 A/B/A read +2%
+            # but pb12 LOSES 20% -- 11.95 vs 14.88 at ilp2 -- so the
+            # default stays f32; exact either way, lanes.py)
             incl, total, rowstart = lanes.lane_prefix_sum_rows_i8(
                 m.astype(jnp.int8), tri, R)
         else:
@@ -260,7 +261,7 @@ def decode_blocks(sym4_rows, fc_rows, x0, stream2_rows, *, T4: int, R: int,
                   interpret: bool = False, groups: int = 1,
                   ilp: int = 1, use_bisect: bool | None = None,
                   slot_direct: bool = False, hoist4: bool = False,
-                  bp: bool = True, ablate: str = "", i8s: bool = True):
+                  bp: bool = True, ablate: str = "", i8s: bool = False):
     """Grid decode of ``n_blocks`` blocks.
 
     x0: (n_blocks*R, 128); stream2_rows: (n_blocks*cap_rows, 128) with renorm
